@@ -1,0 +1,570 @@
+"""MaCow-style conditional invertible flow, TPU-first.
+
+Re-designs the reference cINN core (``models/modules/INN/macow2.py``:
+``MaskedConvFlow:25-288``, ``NICE2d:291-474``, ``MaCowUnit:925-995``,
+``MaCowStep:999-1117``, ``MultiScalePrior:543-593``,
+``MultiScaleInternal:821-920``) as functional JAX flows:
+
+* NHWC layout, fp32 (logdet accuracy), conv-heavy nets hit the MXU via XLA.
+* Homogeneous step stacks within a multi-scale level run as a single
+  ``lax.scan`` over stacked params (one compiled step body per level instead
+  of ~50 unrolled modules).
+* The masked-conv inverse — the reference's per-row Python loop
+  (``macow2.py:174-288``) — is a ``lax.fori_loop`` over rows with a small
+  VALID conv per row, compiled once; orders C/D reuse the height-scan via
+  an H<->W transpose.
+* Data-dependent init (ActNorm / weight-norm convs) is an explicit ``ddi``
+  pass returning fresh params (see ``flows.base``), not an in-graph branch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import Chain, Flow
+from .primitives import (
+    ActNorm,
+    InvConvLU,
+    Shuffle,
+    get_transform,
+    plain_conv_apply,
+    shifted_conv_apply,
+    wn_conv_apply,
+    wn_conv_ddi,
+    wn_conv_init,
+)
+
+
+def _act(name: str):
+    return {"relu": jax.nn.relu, "elu": jax.nn.elu,
+            "leaky_relu": lambda x: jax.nn.leaky_relu(x, 0.1)}[name]
+
+
+def _conv_init(rng, kh, kw, cin, cout):
+    fan_in = kh * kw * cin
+    return jax.random.normal(rng, (kh, kw, cin, cout)) * (fan_in**-0.5)
+
+
+def default_mcf_hidden(in_channels: int) -> int:
+    # reference macow2.py:36-40
+    if in_channels <= 96:
+        return 4 * in_channels
+    return min(2 * in_channels, 512)
+
+
+# ---------------------------------------------------------------------------
+# Masked convolutional flow
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MaskedConvFlow(Flow):
+    """Autoregressive masked-conv flow (one of orders A/B/C/D).
+
+    ``kernel_size`` is stored exactly as the reference stores it: orders C/D
+    are constructed with the kernel dims already swapped, e.g. config kernel
+    (2,3) -> A/B use (2,3), C/D use (3,2) (``macow2.py:941-961``).
+    """
+
+    in_channels: int
+    kernel_size: Tuple[int, int]
+    order: str = "A"
+    hidden_channels: Optional[int] = None
+    h_channels: int = 0
+    transform: str = "affine"
+    alpha: float = 1.0
+    activation: str = "elu"
+
+    @property
+    def _hidden(self):
+        return self.hidden_channels or default_mcf_hidden(self.in_channels)
+
+    @property
+    def _tr(self):
+        return get_transform(self.transform, self.alpha)
+
+    def init(self, rng, x_shape=None):
+        kh, kw = self.kernel_size
+        k1, k2 = jax.random.split(rng)
+        out_c = self.in_channels * self._tr.n_params
+        return {
+            "w_shift": _conv_init(k1, kh, kw, self.in_channels, self._hidden),
+            "out": wn_conv_init(
+                k2, 1, 1, self._hidden + self.h_channels, out_c, zero_init=True
+            ),
+        }
+
+    # -- conditioning net -------------------------------------------------
+    def _net(self, params, x, h):
+        c = shifted_conv_apply(params["w_shift"], x, self.order)
+        if self.h_channels:
+            if h is None:
+                raise ValueError(
+                    f"MaskedConvFlow built with h_channels={self.h_channels} "
+                    "requires conditioning input h"
+                )
+            c = jnp.concatenate([c, h], axis=-1)
+        c = _act(self.activation)(c)
+        return wn_conv_apply(params["out"], c, padding="SAME")
+
+    def _net_window(self, params, window, h_row):
+        """Un-shifted net on a (B, kH, W + 2*cw, C) window -> one row of raw
+        params (B, W, out_c).  Mirrors ``calc_params(..., shifted=False)``."""
+        c = plain_conv_apply(params["w_shift"], window, padding="VALID")
+        if self.h_channels:
+            c = jnp.concatenate([c, h_row], axis=-1)
+        c = _act(self.activation)(c)
+        return wn_conv_apply(params["out"], c, padding="SAME")[:, 0]
+
+    # -- directions --------------------------------------------------------
+    def forward(self, params, x, h=None):
+        raw = self._net(params, x, h)
+        return self._tr.fwd(x, self._tr.calc(raw))
+
+    def ddi(self, params, x, h=None):
+        c = shifted_conv_apply(params["w_shift"], x, self.order)
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = _act(self.activation)(c)
+        new = dict(params)
+        new["out"] = wn_conv_ddi(params["out"], c, init_scale=0.0)
+        y, ld = self.forward(new, x, h)
+        return y, ld, new
+
+    def inverse(self, params, y, h=None):
+        if self.order in ("A", "B"):
+            return self._inverse_height(params, y, h, reverse=(self.order == "B"))
+        # C/D: transpose H<->W, kernel axes, run the height scan
+        yt = jnp.swapaxes(y, 1, 2)
+        ht = None if h is None else jnp.swapaxes(h, 1, 2)
+        pt = dict(params)
+        pt["w_shift"] = jnp.swapaxes(params["w_shift"], 0, 1)
+        xt = self._inverse_height(pt, yt, ht, reverse=(self.order == "D"))
+        return jnp.swapaxes(xt, 1, 2)
+
+    def _inverse_height(self, params, y, h, reverse: bool):
+        """Sequential row reconstruction (reference macow2.py:174-231)."""
+        b, height, width, c = y.shape
+        kh, kw = params["w_shift"].shape[0], params["w_shift"].shape[1]
+        cw = (kw - 1) // 2
+        buf = jnp.zeros((b, height + kh, width + 2 * cw, c), y.dtype)
+        tr = self._tr
+
+        def body(i, buf):
+            row = (height - 1 - i) if reverse else i
+            # rows visible to this output row in the buffer
+            start = row + 1 if reverse else row
+            window = jax.lax.dynamic_slice(
+                buf, (0, start, 0, 0), (b, kh, width + 2 * cw, c)
+            )
+            h_row = None
+            if h is not None and self.h_channels:
+                h_row = jax.lax.dynamic_slice(
+                    h, (0, row, 0, 0), (b, 1, h.shape[2], h.shape[3])
+                )
+            raw = self._net_window(params, window, h_row)
+            x_row = tr.bwd(y[:, row], tr.calc(raw))
+            write_at = row if reverse else row + kh
+            pad_row = jnp.pad(x_row[:, None], ((0, 0), (0, 0), (cw, cw), (0, 0)))
+            return jax.lax.dynamic_update_slice(buf, pad_row, (0, write_at, 0, 0))
+
+        buf = jax.lax.fori_loop(0, height, body, buf)
+        if reverse:
+            return buf[:, :height, cw : cw + width]
+        return buf[:, kh:, cw : cw + width]
+
+
+# ---------------------------------------------------------------------------
+# NICE coupling over channel splits
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NICE2d(Flow):
+    in_channels: int
+    hidden_channels: Optional[int] = None
+    h_channels: int = 0
+    split_type: str = "continuous"  # or "skip"
+    order: str = "up"  # or "down"
+    factor: int = 2
+    transform: str = "affine"
+    alpha: float = 1.0
+    activation: str = "elu"
+
+    def __post_init__(self):
+        st = self.split_type
+        if st == "skip" and self.in_channels % self.factor == 1:
+            object.__setattr__(self, "split_type", "continuous")
+
+    @property
+    def _out_channels(self):
+        return self.in_channels // self.factor
+
+    @property
+    def _in1(self):
+        return self.in_channels - self._out_channels
+
+    @property
+    def z1_channels(self):
+        return self._in1 if self.order == "up" else self._out_channels
+
+    @property
+    def _hidden(self):
+        return self.hidden_channels or min(8 * self.in_channels, 512)
+
+    @property
+    def _tr(self):
+        return get_transform(self.transform, self.alpha)
+
+    def init(self, rng, x_shape=None):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        hid = self._hidden
+        out_c = self._out_channels * self._tr.n_params
+        return {
+            "w1": _conv_init(k1, 3, 3, self._in1, hid),
+            "w2": _conv_init(k2, 1, 1, hid, hid),
+            "out": wn_conv_init(
+                k3, 3, 3, hid + self.h_channels, out_c, zero_init=True
+            ),
+        }
+
+    def _split(self, z):
+        if self.split_type == "continuous":
+            return z[..., : self.z1_channels], z[..., self.z1_channels :]
+        return z[..., 0::2], z[..., 1::2]
+
+    def _unsplit(self, z1, z2):
+        if self.split_type == "continuous":
+            return jnp.concatenate([z1, z2], axis=-1)
+        return jnp.stack([z1, z2], axis=-1).reshape(*z1.shape[:-1], -1)
+
+    def _net_hidden(self, params, z, h):
+        act = _act(self.activation)
+        c = plain_conv_apply(params["w1"], z, padding="SAME")
+        c = act(c)
+        c = plain_conv_apply(params["w2"], c, padding="SAME")
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        return act(c)
+
+    def _raw(self, params, z, h):
+        return wn_conv_apply(params["out"], self._net_hidden(params, z, h), "SAME")
+
+    def _zp_z(self, z1, z2):
+        return (z1, z2) if self.order == "up" else (z2, z1)
+
+    def forward(self, params, x, h=None):
+        z1, z2 = self._split(x)
+        z, zp = self._zp_z(z1, z2)
+        p = self._tr.calc(self._raw(params, z, h))
+        zp, ld = self._tr.fwd(zp, p)
+        z1, z2 = (z, zp) if self.order == "up" else (zp, z)
+        return self._unsplit(z1, z2), ld
+
+    def inverse(self, params, y, h=None):
+        z1, z2 = self._split(y)
+        z, zp = self._zp_z(z1, z2)
+        p = self._tr.calc(self._raw(params, z, h))
+        zp = self._tr.bwd(zp, p)
+        z1, z2 = (z, zp) if self.order == "up" else (zp, z)
+        return self._unsplit(z1, z2)
+
+    def ddi(self, params, x, h=None):
+        z1, z2 = self._split(x)
+        z, _ = self._zp_z(z1, z2)
+        hidden = self._net_hidden(params, z, h)
+        new = dict(params)
+        new["out"] = wn_conv_ddi(params["out"], hidden, init_scale=0.0)
+        y, ld = self.forward(new, x, h)
+        return y, ld, new
+
+
+# ---------------------------------------------------------------------------
+# Units / steps / multi-scale
+# ---------------------------------------------------------------------------
+
+def _permutation(use_1x1: bool, channels: int) -> Flow:
+    return InvConvLU(channels) if use_1x1 else Shuffle(channels)
+
+
+def make_macow_unit(
+    in_channels, kernel_size, h_channels=0, transform="affine", alpha=1.0,
+    activation="elu",
+) -> Chain:
+    """MCF(A) -> MCF(B) -> ActNorm -> MCF(C) -> MCF(D) -> ActNorm
+    (reference ``MaCowUnit``, macow2.py:925-995)."""
+    kh, kw = kernel_size
+    mk = lambda order, ks: MaskedConvFlow(
+        in_channels, ks, order=order, h_channels=h_channels,
+        transform=transform, alpha=alpha, activation=activation,
+    )
+    return Chain((
+        mk("A", (kh, kw)),
+        mk("B", (kh, kw)),
+        ActNorm(in_channels),
+        mk("C", (kw, kh)),
+        mk("D", (kw, kh)),
+        ActNorm(in_channels),
+    ))
+
+
+def make_macow_step(
+    in_channels, kernel_size, hidden_channels, h_channels=0,
+    transform="affine", alpha=1.0, activation="elu", condition_nice=False,
+) -> Chain:
+    """ActNorm -> Shuffle -> 2x unit -> NICE(up) -> NICE(dn) -> ActNorm ->
+    2x unit -> NICE(skip,up) -> NICE(skip,dn) (reference MaCowStep)."""
+    nice_h = h_channels if condition_nice else 0
+    unit = lambda: make_macow_unit(
+        in_channels, kernel_size, h_channels, transform, alpha, activation
+    )
+    nice = lambda split, order: NICE2d(
+        in_channels, hidden_channels=hidden_channels, h_channels=nice_h,
+        split_type=split, order=order, transform=transform, alpha=alpha,
+        activation=activation,
+    )
+    return Chain((
+        ActNorm(in_channels),
+        Shuffle(in_channels),
+        unit(), unit(),
+        nice("continuous", "up"), nice("continuous", "down"),
+        ActNorm(in_channels),
+        unit(), unit(),
+        nice("skip", "up"), nice("skip", "down"),
+    ))
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiScalePrior(Flow):
+    """perm -> NICE(continuous, up) -> ActNorm on the factored-out half
+    (reference macow2.py:543-593)."""
+
+    in_channels: int
+    hidden_channels: int
+    h_channels: int = 0
+    factor: int = 2
+    transform: str = "affine"
+    alpha: float = 1.0
+    activation: str = "elu"
+    use_1x1: bool = False
+    condition_nice: bool = False
+
+    @property
+    def _perm(self):
+        return _permutation(self.use_1x1, self.in_channels)
+
+    @property
+    def _coupling(self):
+        return NICE2d(
+            self.in_channels, hidden_channels=self.hidden_channels,
+            h_channels=self.h_channels if self.condition_nice else 0,
+            split_type="continuous", order="up", factor=self.factor,
+            transform=self.transform, alpha=self.alpha,
+            activation=self.activation,
+        )
+
+    @property
+    def z1_channels(self):
+        return self._coupling.z1_channels
+
+    @property
+    def _actnorm(self):
+        # acts on the factored-out part: in_channels // factor channels
+        return ActNorm(self.in_channels // self.factor)
+
+    def init(self, rng, x_shape=None):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {
+            "perm": self._perm.init(k1),
+            "coupling": self._coupling.init(k2),
+            "actnorm": self._actnorm.init(k3),
+        }
+
+    def forward(self, params, x, h=None):
+        out, ld = self._perm.forward(params["perm"], x)
+        out, l2 = self._coupling.forward(params["coupling"], out, h)
+        z1, z2 = out[..., : self.z1_channels], out[..., self.z1_channels :]
+        z2, l3 = self._actnorm.forward(params["actnorm"], z2)
+        return jnp.concatenate([z1, z2], axis=-1), ld + l2 + l3
+
+    def inverse(self, params, y, h=None):
+        z1, z2 = y[..., : self.z1_channels], y[..., self.z1_channels :]
+        z2 = self._actnorm.inverse(params["actnorm"], z2)
+        out = jnp.concatenate([z1, z2], axis=-1)
+        out = self._coupling.inverse(params["coupling"], out, h)
+        return self._perm.inverse(params["perm"], out)
+
+    def ddi(self, params, x, h=None):
+        out, ld = self._perm.forward(params["perm"], x)
+        out, l2, new_coupling = self._coupling.ddi(params["coupling"], out, h)
+        z1, z2 = out[..., : self.z1_channels], out[..., self.z1_channels :]
+        z2, l3, new_an = self._actnorm.ddi(params["actnorm"], z2)
+        new = {"perm": params["perm"], "coupling": new_coupling, "actnorm": new_an}
+        return jnp.concatenate([z1, z2], axis=-1), ld + l2 + l3, new
+
+
+@dataclasses.dataclass(frozen=True)
+class ScannedSteps(Flow):
+    """N structurally-identical steps executed as one ``lax.scan`` over
+    stacked params — the TPU-native replacement for the reference's
+    ``nn.ModuleList`` of 1-15 MaCowSteps per level."""
+
+    step: Flow
+    n: int
+
+    def init(self, rng, x_shape=None):
+        keys = jax.random.split(rng, self.n)
+        per = [self.step.init(k, x_shape) for k in keys]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+
+    def forward(self, params, x, h=None):
+        def body(carry, p):
+            x, ld = carry
+            y, l = self.step.forward(p, x, h)
+            return (y, ld + l), None
+
+        (y, ld), _ = jax.lax.scan(
+            body, (x, jnp.zeros(x.shape[0], jnp.float32)), params
+        )
+        return y, ld
+
+    def inverse(self, params, y, h=None):
+        def body(x, p):
+            return self.step.inverse(p, x, h), None
+
+        x, _ = jax.lax.scan(body, y, params, reverse=True)
+        return x
+
+    def ddi(self, params, x, h=None):
+        def body(carry, p):
+            x, ld = carry
+            y, l, p2 = self.step.ddi(p, x, h)
+            return (y, ld + l), p2
+
+        (y, ld), new_params = jax.lax.scan(
+            body, (x, jnp.zeros(x.shape[0], jnp.float32)), params
+        )
+        return y, ld, new_params
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiScaleInternal(Flow):
+    """Multi-scale MaCow stack with channel factoring per level
+    (reference ``MultiScaleInternal``, macow2.py:821-920).
+
+    Per level i: ``num_steps[i]`` MaCowSteps (scanned), a MultiScalePrior,
+    a permutation, then the last ``channel_step`` channels are factored out.
+    Forward output concatenates [final, split_{L-1}, ..., split_0] on the
+    channel axis exactly like the reference's reversed ``unsplit2d``.
+    """
+
+    num_steps: Tuple[int, ...]
+    in_channels: int
+    hidden_channels: int
+    h_channels: int = 0
+    factor: int = 16
+    transform: str = "affine"
+    prior_transform: str = "affine"
+    alpha: float = 1.0
+    kernel_size: Tuple[int, int] = (2, 3)
+    activation: str = "elu"
+    use_1x1: bool = False
+    condition_nice: bool = False
+
+    def __post_init__(self):
+        assert len(self.num_steps) < self.factor, "need num_layers < factor"
+
+    def _levels(self):
+        """Static per-level structure: (steps, prior, perm, z1_channels)."""
+        levels = []
+        c = self.in_channels
+        channel_step = self.in_channels // self.factor
+        factor = self.factor
+        for n in self.num_steps:
+            step = make_macow_step(
+                c, self.kernel_size, self.hidden_channels, self.h_channels,
+                self.transform, self.alpha, self.activation,
+                self.condition_nice,
+            )
+            prior = MultiScalePrior(
+                c, self.hidden_channels, self.h_channels, factor,
+                self.prior_transform, self.alpha, self.activation,
+                self.use_1x1, self.condition_nice,
+            )
+            perm = _permutation(self.use_1x1, c)
+            levels.append((ScannedSteps(step, n), prior, perm, prior.z1_channels))
+            c = c - channel_step
+            assert c == prior.z1_channels
+            factor -= 1
+        return levels, c
+
+    @property
+    def z_channels(self):
+        return self._levels()[1]
+
+    def init(self, rng, x_shape=None):
+        levels, _ = self._levels()
+        out = []
+        for steps, prior, perm, _ in levels:
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            out.append({
+                "steps": steps.init(k1, x_shape),
+                "prior": prior.init(k2, x_shape),
+                "perm": perm.init(k3, x_shape),
+            })
+        return out
+
+    def forward(self, params, x, h=None):
+        levels, _ = self._levels()
+        ld = jnp.zeros(x.shape[0], jnp.float32)
+        out = x
+        splits = []
+        for (steps, prior, perm, z1c), p in zip(levels, params):
+            out, l = steps.forward(p["steps"], out, h)
+            ld = ld + l
+            out, l = prior.forward(p["prior"], out, h)
+            ld = ld + l
+            out, l = perm.forward(p["perm"], out)
+            ld = ld + l
+            splits.append(out[..., z1c:])
+            out = out[..., :z1c]
+        splits.append(out)
+        return jnp.concatenate(splits[::-1], axis=-1), ld
+
+    def inverse(self, params, y, h=None):
+        levels, _ = self._levels()
+        # peel the per-level splits off the packed z
+        out = y
+        splits = []
+        for _, prior, _, z1c in levels:
+            splits.append(out[..., z1c:])
+            out = out[..., :z1c]
+        for (steps, prior, perm, _), p, z2 in zip(
+            reversed(levels), reversed(params), reversed(splits)
+        ):
+            out = jnp.concatenate([out, z2], axis=-1)
+            out = perm.inverse(p["perm"], out)
+            out = prior.inverse(p["prior"], out, h)
+            out = steps.inverse(p["steps"], out, h)
+        return out
+
+    def ddi(self, params, x, h=None):
+        levels, _ = self._levels()
+        ld = jnp.zeros(x.shape[0], jnp.float32)
+        out = x
+        splits = []
+        new_params = []
+        for (steps, prior, perm, z1c), p in zip(levels, params):
+            out, l1, new_steps = steps.ddi(p["steps"], out, h)
+            out, l2, new_prior = prior.ddi(p["prior"], out, h)
+            out, l3 = perm.forward(p["perm"], out)
+            ld = ld + l1 + l2 + l3
+            new_params.append(
+                {"steps": new_steps, "prior": new_prior, "perm": p["perm"]}
+            )
+            splits.append(out[..., z1c:])
+            out = out[..., :z1c]
+        splits.append(out)
+        return jnp.concatenate(splits[::-1], axis=-1), ld, new_params

@@ -1,0 +1,20 @@
+"""Test harness: run on a virtual 8-device CPU mesh so multi-chip sharding
+paths are exercised without TPU hardware.
+
+Note: this image registers a remote-TPU ("axon") PJRT backend from
+sitecustomize *before* user code runs, so env vars alone don't switch the
+platform — we must override via jax.config after import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

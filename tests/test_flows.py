@@ -1,0 +1,226 @@
+"""Property tests for the invertible-flow engine.
+
+The reference ships no tests; these implement the strategy SURVEY.md §4
+recommends: exact invertibility ``x == inverse(forward(x))`` and
+logdet == log|det d(forward)/dx| via autodiff jacobian, for every primitive
+and for the full multi-scale conditional stack.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipoke_tpu.flows import (
+    ActNorm,
+    InvConvLU,
+    MaskedConvFlow,
+    MultiScaleInternal,
+    NICE2d,
+    ScannedSteps,
+    Shuffle,
+    build_macow_transformer,
+    make_macow_step,
+    make_macow_unit,
+    trainable_mask,
+)
+
+B, H, W, C = 2, 8, 8, 8
+HC = 6
+
+
+def _data(key, c=C, h_channels=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    x = jax.random.normal(k1, (B, H, W, c))
+    h = jax.random.normal(k2, (B, H, W, h_channels)) if h_channels else None
+    return x, h
+
+
+def autodiff_logdet(fn, x):
+    """log|det J| of fn restricted to one sample, via dense jacobian."""
+    flat_fn = lambda v: fn(v.reshape(x.shape[1:])).ravel()
+    out = []
+    for b in range(x.shape[0]):
+        J = jax.jacfwd(flat_fn)(x[b].ravel())
+        sign, ld = np.linalg.slogdet(np.asarray(J, np.float64))
+        out.append(ld)
+    return np.asarray(out)
+
+
+def check_flow(flow, key=0, c=C, h_channels=0, atol=1e-4, logdet_atol=5e-3,
+               check_logdet=True):
+    x, h = _data(key, c, h_channels)
+    params = flow.init(jax.random.PRNGKey(100 + key), x.shape)
+    y, ld = jax.jit(flow.forward)(params, x, h)
+    x_rec = jax.jit(flow.inverse)(params, y, h)
+    err = float(jnp.max(jnp.abs(x - x_rec)))
+    assert err < atol, f"inversion error {err}"
+    if check_logdet:
+        ld_ref = autodiff_logdet(
+            lambda v: flow.forward(params, v[None], None if h is None else h[:1])[0][0],
+            x,
+        )
+        np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=logdet_atol)
+    return params, x, h, y, ld
+
+
+def test_actnorm():
+    check_flow(ActNorm(C))
+
+
+def test_actnorm_ddi_normalizes():
+    flow = ActNorm(C)
+    x, _ = _data(3)
+    x = x * 3.0 + 1.5
+    params = flow.init(jax.random.PRNGKey(0), x.shape)
+    y, ld, new_params = flow.ddi(params, x)
+    flat = np.asarray(y).reshape(-1, C)
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(flat.std(0, ddof=1), 1.0, atol=1e-4)
+    # forward with new params reproduces ddi output
+    y2, _ = flow.forward(new_params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+
+
+def test_shuffle():
+    check_flow(Shuffle(C))
+
+
+def test_inv_conv_lu():
+    check_flow(InvConvLU(C))
+
+
+@pytest.mark.parametrize("order,ks", [("A", (2, 3)), ("B", (2, 3)),
+                                      ("C", (3, 2)), ("D", (3, 2))])
+def test_masked_conv_flow(order, ks):
+    flow = MaskedConvFlow(C, ks, order=order)
+    # zero-init out conv -> identity at init; perturb params for a real test
+    x, h = _data(1)
+    params = flow.init(jax.random.PRNGKey(7), x.shape)
+    params["out"]["g"] = 0.3 * jax.random.normal(jax.random.PRNGKey(8),
+                                                 params["out"]["g"].shape)
+    params["out"]["b"] = 0.1 * jax.random.normal(jax.random.PRNGKey(9),
+                                                 params["out"]["b"].shape)
+    y, ld = jax.jit(flow.forward)(params, x, h)
+    x_rec = jax.jit(flow.inverse)(params, y, h)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-4
+    ld_ref = autodiff_logdet(lambda v: flow.forward(params, v[None])[0][0], x)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=5e-3)
+
+
+@pytest.mark.parametrize("order,ks", [("A", (2, 3)), ("C", (3, 2))])
+def test_masked_conv_flow_conditional(order, ks):
+    flow = MaskedConvFlow(C, ks, order=order, h_channels=HC)
+    x, h = _data(2, h_channels=HC)
+    params = flow.init(jax.random.PRNGKey(17), x.shape)
+    params["out"]["g"] = 0.3 * jax.random.normal(jax.random.PRNGKey(18),
+                                                 params["out"]["g"].shape)
+    y, _ = flow.forward(params, x, h)
+    x_rec = flow.inverse(params, y, h)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-4
+    # conditioning actually matters
+    y2, _ = flow.forward(params, x, h * 2.0)
+    assert float(jnp.max(jnp.abs(y - y2))) > 1e-6
+
+
+@pytest.mark.parametrize("split,order", [("continuous", "up"),
+                                         ("continuous", "down"),
+                                         ("skip", "up"), ("skip", "down")])
+def test_nice2d(split, order):
+    flow = NICE2d(C, hidden_channels=16, split_type=split, order=order)
+    x, _ = _data(4)
+    params = flow.init(jax.random.PRNGKey(20), x.shape)
+    params["out"]["g"] = 0.3 * jax.random.normal(jax.random.PRNGKey(21),
+                                                 params["out"]["g"].shape)
+    y, ld = flow.forward(params, x)
+    x_rec = flow.inverse(params, y)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-4
+    ld_ref = autodiff_logdet(lambda v: flow.forward(params, v[None])[0][0], x)
+    np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=5e-3)
+
+
+def test_macow_unit_roundtrip():
+    flow = make_macow_unit(C, (2, 3), h_channels=HC)
+    check_flow(flow, key=5, h_channels=HC, check_logdet=False)
+
+
+def test_macow_step_roundtrip_and_logdet():
+    flow = make_macow_step(C, (2, 3), hidden_channels=16, h_channels=HC)
+    check_flow(flow, key=6, h_channels=HC, check_logdet=True)
+
+
+def test_scanned_steps_match_loop():
+    step = make_macow_step(C, (2, 3), hidden_channels=16, h_channels=HC)
+    scanned = ScannedSteps(step, 3)
+    x, h = _data(7, h_channels=HC)
+    params = scanned.init(jax.random.PRNGKey(30), x.shape)
+    y, ld = scanned.forward(params, x, h)
+    # manual loop over unstacked params must agree
+    ys, lds = x, jnp.zeros(B)
+    for i in range(3):
+        p_i = jax.tree_util.tree_map(lambda a: a[i], params)
+        ys, l = step.forward(p_i, ys, h)
+        lds = lds + l
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ys), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lds), atol=1e-3)
+    x_rec = scanned.inverse(params, y, h)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-4
+
+
+def test_multiscale_internal():
+    flow = MultiScaleInternal(
+        num_steps=(2, 1), in_channels=C, hidden_channels=16,
+        h_channels=HC, factor=4,
+    )
+    params, x, h, y, ld = check_flow(flow, key=8, h_channels=HC,
+                                     check_logdet=True)
+    assert y.shape == x.shape
+
+
+def test_multiscale_ddi_statistics():
+    flow = MultiScaleInternal(
+        num_steps=(2, 1), in_channels=C, hidden_channels=16,
+        h_channels=HC, factor=4,
+    )
+    x, h = _data(9, h_channels=HC)
+    x = x * 2.0 + 0.7
+    params = flow.init(jax.random.PRNGKey(40), x.shape)
+    y, ld, new_params = flow.ddi(params, x, h)
+    # after ddi, forward with the new params reproduces the ddi output,
+    # and inversion still holds
+    y2, ld2 = flow.forward(new_params, x, h)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+    x_rec = flow.inverse(new_params, y, h)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-3
+
+
+def test_build_from_config_dict():
+    arch = {
+        "flow_in_channels": C,
+        "flow_mid_channels_factor": 2,
+        "h_channels": HC,
+        "factor": 4,
+        "num_steps": [1, 1],
+        "kernel_size": [2, 3],
+        "transform": "affine",
+        "prior_transform": "affine",
+        "activation": "elu",
+    }
+    flow = build_macow_transformer(arch)
+    check_flow(flow, key=10, h_channels=HC, check_logdet=False)
+
+
+def test_trainable_mask_excludes_buffers():
+    flow = make_macow_step(C, (2, 3), hidden_channels=16)
+    params = flow.init(jax.random.PRNGKey(50), (B, H, W, C))
+    mask = trainable_mask(params)
+    leaves_p = jax.tree_util.tree_leaves_with_path(params)
+    leaves_m = jax.tree_util.tree_leaves(mask)
+    n_buf = sum(1 for (path, _), m in zip(leaves_p, leaves_m) if not m)
+    assert n_buf >= 2  # at least the shuffle perms
+    for (path, leaf), m in zip(leaves_p, leaves_m):
+        is_buf = any(
+            getattr(k, "key", "").startswith("buf_") for k in path
+            if hasattr(k, "key")
+        )
+        assert m == (not is_buf)
