@@ -1,0 +1,79 @@
+"""Optimizer factories.
+
+The reference uses torch ``Adam(lr, betas=(0.5, 0.9), weight_decay)`` for the
+GAN stages (``first_stage_motion_model.py:538-543``) and Adam/AdaBelief with
+amsgrad for the cINN (``second_stage_video.py:643-673``), plus linear warmup /
+linear decay schedules (``:249-264``).  Here everything is optax; flow params
+contain non-trainable ``buf_*`` leaves that must be masked out.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..flows.base import trainable_mask
+
+
+def gan_adam(lr, weight_decay: float = 1e-5, b1: float = 0.5, b2: float = 0.9):
+    """Adam with torch-style additive L2 (not decoupled), matching the
+    reference's GAN optimizers."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=b1, b2=b2),
+        optax.scale_by_learning_rate(lr),
+    )
+
+
+def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
+              clip_grad_norm: float = 0.0):
+    """Adam for flow params; masks out ``buf_*`` buffer leaves entirely
+    (no grads, no decay, no update)."""
+    chain = []
+    if clip_grad_norm and clip_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad_norm))
+    chain += [
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999),
+        optax.scale_by_learning_rate(lr_schedule),
+    ]
+    tx = optax.chain(*chain)
+    if params is None:
+        return tx
+    mask = trainable_mask(params)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask),
+    )
+
+
+def zero_buffer_grads(grads, params):
+    """Replace grads of ``buf_*`` leaves with zeros (they may come back as
+    float0 from jax.grad on int leaves)."""
+    mask = trainable_mask(params)
+    return jax.tree_util.tree_map(
+        lambda g, p, m: g if m else jnp.zeros_like(p), grads, params, mask
+    )
+
+
+def warmup_linear_decay(lr: float, warmup_steps: int, total_steps: int):
+    """Linear 0->lr over ``warmup_steps`` then linear decay to 0 at
+    ``total_steps`` (reference second_stage_video.py:249-264, 328-334)."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, lr, warmup_steps),
+            optax.linear_schedule(lr, 0.0, max(1, total_steps - warmup_steps)),
+        ],
+        [warmup_steps],
+    )
+
+
+def exp_decay_per_epoch(lr: float, gamma: float, steps_per_epoch: int):
+    """torch ExponentialLR stepped once per epoch."""
+    return optax.exponential_decay(
+        lr, transition_steps=max(1, steps_per_epoch), decay_rate=gamma,
+        staircase=True,
+    )

@@ -1,0 +1,102 @@
+"""Shape/behavior tests for the NN module library."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipoke_tpu import nn as inn
+
+K = jax.random.PRNGKey
+
+
+def test_conv_encoder_decoder_roundtrip_shapes():
+    enc = inn.ConvEncoder(nf_in=3, nf_max=64, n_stages=3, variational=True)
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = enc.init({"params": K(0)}, x, rng=K(1), train=False)
+    (z, mean, logstd), _ = enc.apply(
+        vars_, x, rng=K(2), train=True, mutable=["batch_stats"]
+    )
+    assert z.shape == (2, 8, 8, 64)
+    assert logstd is not None and float(jnp.max(logstd)) <= 1.0
+
+    dec = inn.ConvDecoder(nf_in=64, in_channels=(64,) + enc.depths, out_channels=3)
+    dv = dec.init({"params": K(3)}, z)
+    y = dec.apply(dv, z)
+    assert y.shape == x.shape
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh output
+
+
+def test_spade_decoder():
+    dec = inn.SpadeCondConvDecoder(dec_channels=(64, 64, 32, 32), out_channels=3)
+    h = jnp.zeros((2, 8, 8, 32))
+    x0 = jnp.zeros((2, 64, 64, 3))
+    v = dec.init({"params": K(0)}, h, x0)
+    y = dec.apply(v, h, x0)
+    assert y.shape == (2, 64, 64, 3)
+
+
+@pytest.mark.parametrize("spatial,min_s,chs", [(64, 8, (32, 64, 128, 128)),
+                                               (128, 8, (32, 64, 128, 128, 128))])
+def test_motion_encoder(spatial, min_s, chs):
+    enc = inn.ResNetMotionEncoder(
+        channels=chs, z_dim=32, spatial_size=spatial, max_frames=10,
+        full_seq=True, min_spatial_size=min_s,
+    )
+    x = jnp.zeros((2, 10, spatial, spatial, 3))
+    v = enc.init({"params": K(0)}, x, rng=K(1))
+    z, mu, logvar = enc.apply(v, x, rng=K(2))
+    assert z.shape == (2, min_s, min_s, 32)
+    assert mu.shape == logvar.shape == z.shape
+
+
+def test_conv_gru_rollout():
+    gru = inn.ConvGRU(hidden_size=16, n_layers=3)
+    x = jnp.ones((2, 8, 8, 16))
+    hidden = tuple(jnp.zeros((2, 8, 8, 16)) for _ in range(3))
+    v = gru.init({"params": K(0)}, x, hidden)
+    h1 = gru.apply(v, x, hidden)
+    assert len(h1) == 3 and h1[-1].shape == x.shape
+    h2 = gru.apply(v, x, h1)
+    assert float(jnp.max(jnp.abs(h2[-1] - h1[-1]))) > 0  # state evolves
+
+
+def test_patch_discriminator_2d():
+    d = inn.PatchDiscriminator2D(ndf=32, n_layers=3)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = d.init({"params": K(0)}, x, train=False)
+    (logits, fmaps), _ = d.apply(v, x, train=True, mutable=["batch_stats"])
+    assert logits.shape[0] == 2 and logits.shape[-1] == 1
+    assert len(fmaps) == 4
+
+
+def test_resnet3d_discriminator_and_gp():
+    d = inn.ResNet3DDiscriminator(layers=(1, 1, 1, 1))
+    x = jax.random.normal(K(1), (2, 6, 32, 32, 3))
+    v = d.init({"params": K(0)}, x, train=False)
+    logits, fmaps = d.apply(v, x, train=False)
+    assert logits.shape == (2, 1)
+    gp = inn.gradient_penalty(lambda t: d.apply(v, t, train=False)[0], x)
+    assert gp.shape == (2,) and bool(jnp.all(gp >= 0))
+
+
+def test_gan_losses():
+    pred = jnp.array([[0.5], [-0.5]])
+    assert float(inn.hinge_d_loss(pred, True)) > 0
+    assert float(inn.hinge_d_loss(pred, False)) > 0
+    f = [jnp.ones((2, 4, 4, 8)), jnp.zeros((2, 2, 2, 16))]
+    r = [jnp.zeros((2, 4, 4, 8)), jnp.zeros((2, 2, 2, 16))]
+    assert float(inn.fmap_loss(f, r)) == pytest.approx(0.5)
+
+
+def test_spectral_norm_state_updates():
+    blk = inn.Conv2dBlock(out_dim=8, ks=3, st=1, padding=1, snorm=True)
+    x = jax.random.normal(K(0), (2, 16, 16, 4))
+    v = blk.init({"params": K(1)}, x, train=False)
+    assert "batch_stats" in v
+    y, new_state = blk.apply(v, x, train=True, mutable=["batch_stats"])
+    leaves_old = jax.tree_util.tree_leaves(v["batch_stats"])
+    leaves_new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    assert any(
+        float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(leaves_old, leaves_new)
+    )
