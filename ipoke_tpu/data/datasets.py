@@ -1,0 +1,312 @@
+"""Video datasets over the reference's on-disk artifact contract.
+
+L1 of the framework (SURVEY.md §2.2): a ``meta.p``-indexed dataset with
+datakey-driven item assembly (reference ``data/base_dataset.py:109-239``) and
+the four per-dataset subclasses (``data/flow_dataset.py``).  Differences by
+design:
+
+* host-side pure numpy, channels-last, every sample drawn through an explicit
+  ``np.random.Generator`` (worker-reproducible; replaces the reference's
+  global-RNG nondeterminism, SURVEY.md §5.2);
+* images come out (T+1, H, W, 3) float32 in [-1, 1]; flow (H, W, 2); poke
+  (H, W, 2) + centers — the exact batch contract of the reference collate.
+
+On-disk artifact contract (produced by ``ipoke_tpu.data.prep``):
+  <root>/<video_dir>/frame_<i>.png
+  <root>/<video_dir>/prediction_<i>_<i+lag>.flow.npy     # (2, H, W)
+  <root>/meta.p   # pickle: img_path, flow_paths, fid, vid, object_id, train
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .augment import ColorAugment, GeometricAugment
+from .poke import FlowError, resize_flow, scale_flow_to_res, simulate_poke
+
+DATAKEYS = (
+    "images", "poke", "flow", "original_flow", "sample_ids", "app_img_random",
+    "keypoints_abs", "keypoints_rel", "keypoint_poke", "nn",
+)
+
+
+class VideoDataset:
+    subsample_step = 1
+    flow_cutoff = 1.0
+    obj_weighting = False
+
+    def __init__(self, config: dict, datakeys: Sequence[str], train: bool = True,
+                 meta: Optional[dict] = None, data_root: Optional[str] = None):
+        assert len(datakeys) > 0
+        unknown = [k for k in datakeys if k not in DATAKEYS]
+        assert not unknown, f"invalid datakeys: {unknown}"
+        self.config = config
+        self.datakeys = list(datakeys)
+        self.train = train
+        self.spatial_size = tuple(config["spatial_size"])
+        self.max_frames = int(config.get("max_frames", 10))
+        self.poke_size = int(
+            config.get("poke_size", self.spatial_size[0] / 128 * 10)
+        )
+        self.n_pokes = int(config.get("n_pokes", 1))
+        self.fix_n_pokes = bool(config.get("fix_n_pokes", False)) or (
+            self.n_pokes == 1
+        )
+        self.equal_poke_val = bool(config.get("equal_poke_val", True))
+        self.scale_poke_to_res = bool(config.get("scale_poke_to_res", False))
+        self.augment = bool(config.get("augment", False)) and train
+        self.normalize_01 = bool(config.get("01_normalize", False))
+        self.max_trials_flow_load = 50
+
+        self.color_aug = ColorAugment(config) if self.augment else None
+        self.geom_aug = GeometricAugment(config) if self.augment else None
+
+        data_root = data_root or config.get("data_root")
+        if meta is None:
+            with open(os.path.join(data_root, "meta.p"), "rb") as f:
+                meta = pickle.load(f)
+        self._build_index(meta, data_root)
+        self._set_instance_specific_values()
+
+    # -- index ---------------------------------------------------------------
+    def _build_index(self, meta: dict, data_root: Optional[str]):
+        dd = {k: np.asarray(v) for k, v in meta.items()}
+        if "train" in dd:
+            sel = dd["train"].astype(bool)
+            if not self.train:
+                sel = ~sel
+            if sel.any():
+                dd = {k: v[sel] for k, v in dd.items()}
+        if data_root is not None:
+            join = np.vectorize(lambda p: os.path.join(data_root, str(p)))
+            dd["img_path"] = join(dd["img_path"])
+            dd["flow_paths"] = join(dd["flow_paths"])
+        if dd["flow_paths"].ndim == 1:
+            dd["flow_paths"] = dd["flow_paths"][:, None]
+        self.datadict = dd
+        # per-video last frame index (global ids)
+        vids = dd["vid"]
+        self.seq_end_id = np.empty(len(vids), np.int64)
+        self.sids_per_seq = {}
+        for v in np.unique(vids):
+            idx = np.flatnonzero(vids == v)
+            self.seq_end_id[idx] = idx.max()
+            self.sids_per_seq[v] = idx.min()
+        self.valid_lags = [0]
+
+    def _set_instance_specific_values(self):
+        pass
+
+    def __len__(self):
+        return int(self.datadict["img_path"].shape[0])
+
+    # -- sampling -------------------------------------------------------------
+    def _get_valid_ids(self, index: int, rng: np.random.Generator) -> Tuple[int, int]:
+        """(start_id, length_flag); index==-1 requests a zero-poke sample
+        (reference base_dataset.py:264-288)."""
+        length = 0
+        if index == -1:
+            length = -1
+            if self.obj_weighting and "weights" in self.datadict:
+                w = self.datadict["weights"]
+                index = int(rng.choice(len(w), p=w / w.sum()))
+            else:
+                index = int(rng.integers(0, len(self)))
+        start = min(
+            index,
+            int(self.seq_end_id[index]) - self.max_frames * self.subsample_step - 1,
+        )
+        start = max(start, int(self.sids_per_seq[self.datadict["vid"][index]]))
+        return start, length
+
+    # -- loaders ---------------------------------------------------------------
+    def _load_img(self, path: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(str(path))
+        if img is None:
+            raise FlowError(f"could not read image {path}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        img = cv2.resize(
+            img, (self.spatial_size[1], self.spatial_size[0]),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        return img
+
+    def _get_imgs(self, ids, rng, color_t=None, geom_t=None):
+        start, length = ids
+        frame_ids = [
+            start + i * self.subsample_step for i in range(self.max_frames + 1)
+        ]
+        frame_ids = [min(f, int(self.seq_end_id[start])) for f in frame_ids]
+        frames = []
+        for f in frame_ids:
+            img = self._load_img(self.datadict["img_path"][f])
+            if color_t is not None:
+                img = color_t(img)
+            if geom_t is not None:
+                img = geom_t(img)
+            img = img.astype(np.float32) / 255.0
+            if not self.normalize_01:
+                img = img * 2.0 - 1.0
+            frames.append(img)
+        return np.stack(frames, axis=0)
+
+    def _load_flow(self, ids) -> np.ndarray:
+        start, length = ids
+        path = self.datadict["flow_paths"][start, self.valid_lags[0]]
+        try:
+            raw = np.load(path)
+        except ValueError:
+            try:
+                raw = np.load(path, allow_pickle=True)
+            except Exception as e:
+                raise FlowError(f"{path}: {e}")
+        except Exception as e:
+            raise FlowError(f"{path}: {e}")
+        flow = np.transpose(raw, (1, 2, 0)).astype(np.float32)  # (H, W, 2)
+        if self.scale_poke_to_res:
+            flow = scale_flow_to_res(flow, self.spatial_size[0])
+        flow = resize_flow(flow, self.spatial_size)
+        return flow
+
+    def _get_flow(self, ids, rng, geom_t=None, always_original=False):
+        flow = self._load_flow(ids if ids[1] != -1 else (ids[0], 0))
+        if ids[1] == -1 and not always_original:
+            flow = np.zeros_like(flow)
+        if geom_t is not None and ids[1] != -1:
+            flow = geom_t.apply_flow(flow)
+        return flow
+
+    def _get_poke(self, ids, rng, **kw):
+        flow = self._load_flow((ids[0], 0))
+        poke, centers = simulate_poke(
+            flow, rng, self.n_pokes, self.poke_size,
+            zero_poke=(ids[1] == -1), fix_n_pokes=self.fix_n_pokes,
+            equal_poke_val=self.equal_poke_val,
+        )
+        return poke, centers
+
+    def _get_transfer_img(self, ids, rng, **kw):
+        vids = self.datadict["vid"]
+        others = np.unique(vids[vids != vids[ids[0]]])
+        v = rng.choice(others) if len(others) else vids[ids[0]]
+        cand = np.flatnonzero(vids == v)
+        idx = int(rng.choice(cand))
+        img = self._load_img(self.datadict["img_path"][idx]).astype(np.float32)
+        img = img / 255.0
+        return img if self.normalize_01 else img * 2.0 - 1.0
+
+    def _get_keypoints(self, ids, rng, abs=True, **kw):
+        raise NotImplementedError(f"{type(self).__name__} has no keypoints")
+
+    _get_keypoint_poke = _get_keypoints
+    _get_nn = _get_keypoints
+
+    # -- item assembly -----------------------------------------------------------
+    def get_item(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        ids = self._get_valid_ids(index, rng)
+        color_t = self.color_aug.sample(rng) if self.color_aug else None
+        geom_t = self.geom_aug.sample(rng) if self.geom_aug else None
+
+        for trial in range(self.max_trials_flow_load):
+            try:
+                out = {}
+                for key in self.datakeys:
+                    if key == "images":
+                        out[key] = self._get_imgs(ids, rng, color_t, geom_t)
+                    elif key == "poke":
+                        poke, centers = self._get_poke(ids, rng)
+                        out["poke"] = poke
+                        out["poke_coords"] = centers
+                    elif key == "flow":
+                        out[key] = self._get_flow(ids, rng, geom_t)
+                    elif key == "original_flow":
+                        out[key] = self._get_flow(ids, rng, geom_t,
+                                                  always_original=True)
+                    elif key == "sample_ids":
+                        out[key] = np.asarray(
+                            [ids[0]] + [ids[0] + i * self.subsample_step
+                                        for i in range(1, self.max_frames + 1)],
+                            np.int64,
+                        )
+                    elif key == "app_img_random":
+                        out[key] = self._get_transfer_img(ids, rng)
+                    elif key == "keypoints_abs":
+                        out[key] = self._get_keypoints(ids, rng, abs=True)
+                    elif key == "keypoints_rel":
+                        out[key] = self._get_keypoints(ids, rng, abs=False)
+                    elif key == "keypoint_poke":
+                        out[key] = self._get_keypoint_poke(ids, rng)
+                    elif key == "nn":
+                        out[key] = self._get_nn(ids, rng)
+                return out
+            except FlowError:
+                ids = (int(rng.integers(0, len(self))), ids[1])
+        raise IOError(
+            f"flow loading failed {self.max_trials_flow_load} times in a row"
+        )
+
+
+class PlantDataset(VideoDataset):
+    """Poking Plants (reference flow_dataset.py:22-320): flow_cutoff 0.4,
+    temporal subsample 2, object weighting."""
+
+    subsample_step = 2
+    flow_cutoff = 0.4
+    obj_weighting = True
+
+    def _set_instance_specific_values(self):
+        if "object_id" in self.datadict and "weights" not in self.datadict:
+            obj = self.datadict["object_id"]
+            _, counts = np.unique(obj, return_counts=True)
+            freq = {o: c for o, c in zip(*np.unique(obj, return_counts=True))}
+            w = np.asarray([1.0 / freq[o] for o in obj], np.float64)
+            self.datadict["weights"] = w / w.sum()
+
+
+class IperDataset(VideoDataset):
+    """iPER (reference flow_dataset.py:372-562): official actor split,
+    keypoint metadata when available."""
+
+    subsample_step = 1
+
+    def _set_instance_specific_values(self):
+        self.keypoints = self.datadict.get("keypoints")
+
+    def _get_keypoints(self, ids, rng, abs=True, **kw):
+        if self.keypoints is None:
+            raise NotImplementedError("meta has no keypoints (run pose prep)")
+        kps = self.keypoints[ids[0]].astype(np.float32)
+        if not abs:
+            kps = kps / np.asarray(self.spatial_size, np.float32)
+        return kps
+
+
+class TaichiDataset(VideoDataset):
+    subsample_step = 2
+
+
+class Human36mDataset(VideoDataset):
+    subsample_step = 2
+
+
+class VegetationDataset(PlantDataset):
+    pass
+
+
+__datasets__ = {
+    "PlantDataset": PlantDataset,
+    "IperDataset": IperDataset,
+    "TaichiDataset": TaichiDataset,
+    "Human36mDataset": Human36mDataset,
+    "VegetationDataset": VegetationDataset,
+}
+
+
+def get_dataset(name: str):
+    return __datasets__[name]

@@ -1,0 +1,185 @@
+"""Evaluation metrics (reference ``utils/metrics.py``).
+
+On-device JAX implementations of SSIM / PSNR / perceptual distance /
+diversity / optical-flow errors, plus host-side Fréchet distance (scipy
+sqrtm) for FVD/FID.  Per-sample metric *states* are plain arrays so
+multi-host reduction is a psum/concat over the mesh (replacing PL Metric's
+``dist_sync_on_step``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.vgg import VGG19Features
+
+# ---------------------------------------------------------------------------
+# Image metrics (inputs in [-1, 1], NHWC)
+# ---------------------------------------------------------------------------
+
+def psnr(a, b, data_range: float = 2.0):
+    """Per-image PSNR (reference wraps PL functional, metrics.py:532)."""
+    mse = jnp.mean((a - b) ** 2, axis=(-3, -2, -1))
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-10))
+
+
+def _gaussian_kernel(size=11, sigma=1.5):
+    g = jnp.exp(-0.5 * ((jnp.arange(size) - size // 2) / sigma) ** 2)
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def ssim(a, b, data_range: float = 2.0):
+    """Per-image SSIM with the standard 11x11 Gaussian window."""
+    k = _gaussian_kernel()[:, :, None, None]
+    c = a.shape[-1]
+    kern = jnp.tile(k, (1, 1, 1, c))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a, mu_b = filt(a), filt(b)
+    va = filt(a * a) - mu_a**2
+    vb = filt(b * b) - mu_b**2
+    vab = filt(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * vab + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    )
+    return jnp.mean(s, axis=(-3, -2, -1))
+
+
+def perceptual_distance(vgg_params, a, b):
+    """LPIPS-style distance over unit-normalized VGG19 features, mean over
+    taps (the reference uses pip ``lpips``; without pretrained lin heads this
+    uses uniform channel weights — valid for relative comparison)."""
+    model = VGG19Features()
+    fa = model.apply(vgg_params, a)
+    fb = model.apply(vgg_params, b)
+    total = 0.0
+    for x, y in zip(fa, fb):
+        xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-10)
+        yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-10)
+        total = total + jnp.mean((xn - yn) ** 2, axis=(-3, -2, -1))
+    return total / len(fa)
+
+
+# ---------------------------------------------------------------------------
+# Optical flow errors (reference utils/metrics.py:20-83; flow NHWC (.., 2))
+# ---------------------------------------------------------------------------
+
+def angular_error(f1, f2):
+    """Angle between flow vectors extended with a unit 3rd component."""
+    ones = jnp.ones((*f1.shape[:-1], 1), f1.dtype)
+    a = jnp.concatenate([f1, ones], axis=-1)
+    b = jnp.concatenate([f2, ones], axis=-1)
+    cos = jnp.sum(a * b, axis=-1) / (
+        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    )
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+
+def endpoint_error(f1, f2):
+    return jnp.linalg.norm(f1 - f2, axis=-1)
+
+
+def optical_flow_metrics(f1, f2) -> Dict[str, jnp.ndarray]:
+    """Fractions of pixels above angular (5/10/15 deg) and endpoint
+    (1/2/3/5 px) thresholds (reference ``optical_flow_metric``)."""
+    ae = angular_error(f1, f2)
+    ee = endpoint_error(f1, f2)
+    out = {}
+    for deg in (5.0, 10.0, 15.0):
+        out[f"AE_R{deg:g}"] = jnp.mean(ae > deg * jnp.pi / 180.0)
+    for px in (1.0, 2.0, 3.0, 5.0):
+        out[f"EE_R{px:g}"] = jnp.mean(ee > px)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Frechet distances (FVD / FID)
+# ---------------------------------------------------------------------------
+
+def calculate_moments(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(acts, axis=0)
+    sigma = np.cov(acts, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Stable Fréchet distance (reference metrics.py:690-743)."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+        - 2.0 * np.trace(covmean)
+    )
+
+
+def compute_fvd(i3d_params, real_videos, fake_videos,
+                batch_size: int = 8) -> float:
+    """FVD over I3D logits (reference ``calculate_FVD``, metrics.py:838-845).
+
+    videos: (N, T, H, W, 3) in [-1, 1]."""
+    from .i3d import i3d_activations
+
+    a_real = i3d_activations(i3d_params, real_videos, batch_size)
+    a_fake = i3d_activations(i3d_params, fake_videos, batch_size)
+    return frechet_distance(*calculate_moments(a_real),
+                            *calculate_moments(a_fake))
+
+
+# ---------------------------------------------------------------------------
+# Diversity (reference compute_div_score*, metrics.py:139-212)
+# ---------------------------------------------------------------------------
+
+def diversity_score_mse(samples) -> float:
+    """Mean pairwise MSE across n samples per datapoint.
+
+    samples: (N, S, T, H, W, 3) — N datapoints, S samples each."""
+    samples = np.asarray(samples)
+    n, s = samples.shape[:2]
+    total, cnt = 0.0, 0
+    for i in range(s):
+        for j in range(i + 1, s):
+            total += float(np.mean((samples[:, i] - samples[:, j]) ** 2))
+            cnt += 1
+    return total / max(cnt, 1)
+
+
+def diversity_score_vgg(vgg_params, samples, batch_frames: int = 64) -> float:
+    """Mean pairwise VGG cosine distance (reference ``compute_div_score``)."""
+    samples = jnp.asarray(samples)
+    n, s, t = samples.shape[:3]
+    model = VGG19Features()
+
+    @jax.jit
+    def feats(frames):
+        taps = model.apply(vgg_params, frames)
+        f = taps[-1].reshape(frames.shape[0], -1)
+        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-10)
+
+    total, cnt = 0.0, 0
+    for i in range(s):
+        for j in range(i + 1, s):
+            fi = feats(samples[:, i].reshape(-1, *samples.shape[3:]))
+            fj = feats(samples[:, j].reshape(-1, *samples.shape[3:]))
+            total += float(jnp.mean(1.0 - jnp.sum(fi * fj, axis=-1)))
+            cnt += 1
+    return total / max(cnt, 1)

@@ -1,0 +1,123 @@
+"""Data layer tests: poke simulation semantics, on-disk pipeline end-to-end,
+samplers, loaders."""
+
+import numpy as np
+import pytest
+
+from ipoke_tpu.data import (
+    FixedLengthSampler,
+    FlowError,
+    StaticDataModule,
+    simulate_poke,
+)
+from ipoke_tpu.data.prep import make_synthetic_dataset, prepare
+
+
+def _flow_with_blob(S=64, vx=3.0, vy=-2.0):
+    flow = np.zeros((S, S, 2), np.float32)
+    flow[20:36, 24:40, 0] = vx
+    flow[20:36, 24:40, 1] = vy
+    return flow
+
+
+def test_poke_stamps_flow_values_at_high_motion_pixels():
+    flow = _flow_with_blob()
+    rng = np.random.default_rng(0)
+    poke, centers = simulate_poke(flow, rng, n_pokes_max=1, poke_size=5)
+    assert poke.shape == flow.shape
+    (r, c) = centers[0]
+    assert 20 <= r < 36 and 24 <= c < 40  # center on the moving blob
+    # window carries the flow value
+    np.testing.assert_allclose(poke[r, c], flow[r, c])
+    window = poke[r - 2 : r + 3, c - 2 : c + 3]
+    assert np.all(window == flow[r, c])
+    # outside the window: zero
+    assert np.count_nonzero(np.linalg.norm(poke, axis=-1)) == 25
+
+
+def test_poke_n_pokes_range_and_centers_fill():
+    flow = _flow_with_blob()
+    rng = np.random.default_rng(1)
+    ns = set()
+    for _ in range(20):
+        poke, centers = simulate_poke(flow, rng, n_pokes_max=5, poke_size=3)
+        n = int((centers[:, 0] >= 0).sum())
+        ns.add(n)
+        assert 1 <= n <= 5
+    assert len(ns) > 1  # actually random in [1, 5]
+
+
+def test_zero_poke_locations_are_background():
+    flow = _flow_with_blob()
+    rng = np.random.default_rng(2)
+    poke, centers = simulate_poke(
+        flow, rng, n_pokes_max=2, poke_size=5, zero_poke=True
+    )
+    for r, c in centers:
+        if r < 0:
+            continue
+        # background location: zero flow at the poked pixel in the real field
+        assert np.linalg.norm(flow[r, c]) == 0.0
+    # but values stamped are foreground magnitudes
+    assert np.abs(poke).max() > 0
+
+
+def test_poke_raises_on_constant_flow():
+    flow = np.zeros((32, 32, 2), np.float32)
+    with pytest.raises(FlowError):
+        simulate_poke(flow, np.random.default_rng(0), 1, 5)
+
+
+def test_fixed_length_sampler_zero_poke_rate():
+    s = FixedLengthSampler(120, 10, zero_poke=True, zero_poke_amount=12, seed=3)
+    ids = [i for batch in s for i in batch]
+    assert len(ids) == 120
+    assert ids.count(-1) == 10  # 120/12
+    # new epoch -> different permutation
+    s.set_epoch(1)
+    ids2 = [i for batch in s for i in batch]
+    assert ids2 != ids
+
+
+def test_on_disk_pipeline_end_to_end(tmp_path):
+    root = str(tmp_path / "plants")
+    meta = make_synthetic_dataset(root, n_videos=4, n_frames=16,
+                                  spatial_size=64, flow_delta=5)
+    assert len(meta["img_path"]) > 0
+    cfg = {
+        "dataset": "PlantDataset", "spatial_size": (32, 32), "max_frames": 3,
+        "batch_size": 2, "n_workers": 2, "poke_size": 3, "n_pokes": 2,
+        "zero_poke": True, "zero_poke_amount": 4, "augment": True,
+        "p_col": 0.5, "p_geom": 0.5, "augment_b": 0.2, "augment_c": 0.2,
+        "augment_h": 0.1, "augment_s": 0.2, "aug_deg": 10,
+        "aug_trans": (0.1, 0.1), "scale_poke_to_res": True,
+        "yield_videos": True,
+    }
+    dm = StaticDataModule(cfg, ["images", "poke", "flow"], data_root=root)
+    batches = list(dm.train_loader(epoch=0, n_batches=3))
+    assert len(batches) >= 1
+    b = batches[0]
+    assert b["images"].shape == (2, 4, 32, 32, 3)
+    assert b["flow"].shape == (2, 32, 32, 2)
+    assert b["poke"].shape == (2, 32, 32, 2)
+    assert b["poke_coords"].shape == (2, 2, 2)
+    assert b["images"].min() >= -1.0 and b["images"].max() <= 1.0
+    # determinism: same epoch -> identical batches
+    b2 = next(iter(dm.train_loader(epoch=0, n_batches=1)))
+    np.testing.assert_allclose(b["images"], b2["images"])
+    # flow magnitudes rescaled for the 64->32 resize
+    assert np.abs(b["flow"]).max() <= 16.0
+
+
+def test_val_split_disjoint(tmp_path):
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_videos=5, n_frames=12, spatial_size=32,
+                           flow_delta=4)
+    cfg = {"dataset": "PlantDataset", "spatial_size": (32, 32),
+           "max_frames": 2, "batch_size": 2, "yield_videos": True,
+           "poke_size": 3, "n_pokes": 1}
+    dm = StaticDataModule(cfg, ["images"], data_root=root)
+    train_vids = set(dm.dset_train.datadict["vid"].tolist())
+    val_vids = set(dm.dset_val.datadict["vid"].tolist())
+    assert train_vids and val_vids
+    assert train_vids.isdisjoint(val_vids)

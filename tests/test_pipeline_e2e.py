@@ -1,0 +1,154 @@
+"""Full-pipeline integration test through the CLI surface:
+
+synthetic on-disk dataset -> train img_encoder, poke_encoder, first_stage
+(debug mode) -> train second_stage composing the frozen checkpoints ->
+``--test samples`` + ``--test fvd``.  This is the reference's 3-stage
+``main.py`` workflow end to end.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ipoke_tpu.data.prep import make_synthetic_dataset
+
+S = 32  # spatial size for the tiny pipeline
+
+DATA = {
+    "dataset": "PlantDataset", "poke_size": 3, "max_frames": 3,
+    "batch_size": 2, "n_workers": 2, "yield_videos": True,
+    "spatial_size": [S, S], "augment": False, "n_pokes": 2,
+    "zero_poke": True, "zero_poke_amount": 6, "scale_poke_to_res": True,
+}
+
+
+def _write_cfg(path, cfg):
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    data_root = str(root / "data")
+    make_synthetic_dataset(data_root, n_videos=4, n_frames=14,
+                           spatial_size=S, flow_delta=4)
+    base = str(root / "logs")
+    return {"root": root, "data_root": data_root, "base": base}
+
+
+def _run_main(argv, base):
+    import main as cli
+
+    os.environ["DATAPATH_BASE"] = base
+    try:
+        assert cli.main(argv) == 0
+    finally:
+        os.environ.pop("DATAPATH_BASE", None)
+
+
+def test_full_three_stage_pipeline(pipeline_env):
+    root, data_root, base = (pipeline_env["root"], pipeline_env["data_root"],
+                             pipeline_env["base"])
+
+    img_cfg = {
+        "general": {"experiment": "img_encoder", "seed": 1, "debug": True},
+        "data": DATA,
+        "architecture": {"nf_in": 3, "nf_max": 16, "min_spatial_size": 4,
+                         "deterministic": True},
+        "training": {"lr": 2e-4, "n_epochs": 1, "perc_weight": 1.0},
+        "disc": {"ndf": 16, "n_layers": 2, "start": 0},
+    }
+    poke_cfg = {
+        "general": {"experiment": "poke_encoder", "seed": 1, "debug": True},
+        "data": DATA,
+        "architecture": {"nf_in": 2, "nf_max": 16, "min_spatial_size": 4,
+                         "deterministic": True},
+        "training": {"lr": 2e-4, "n_epochs": 1, "perc_weight": 1.0},
+    }
+    fs_cfg = {
+        "general": {"experiment": "first_stage", "seed": 1, "debug": True},
+        "data": DATA,
+        "architecture": {
+            "z_dim": 8, "ENC_M_channels": [16, 16, 32, 32],
+            "dec_channels": [32, 32, 16, 16], "n_gru_layers": 2,
+            "min_spatial_size": 4, "norm": "group", "spectral_norm": True,
+            "motion_bias": True,
+        },
+        "training": {"lr": 2e-4, "n_epochs": 1, "w_kl": 1e-6, "w_l1": 10,
+                     "w_vgg": 1, "gamma": 0.98, "full_sequence": True},
+        "d_t": {"use": True, "pretrain": 0, "max_frames": 3, "gp_weight": 0.5,
+                "gen_weight": 1.0, "fmap_weight": 1.0, "layers": [1, 1, 1, 1]},
+        "d_s": {"use": True, "pretrain": 0, "n_examples": 4, "ndf": 16,
+                "n_layers": 2},
+    }
+
+    for name, cfg in (("img", img_cfg), ("poke", poke_cfg), ("fs", fs_cfg)):
+        path = _write_cfg(root / f"{name}.yaml", cfg)
+        _run_main(["--config", path, "--model_name", "tiny",
+                   "--data_root", data_root], base)
+
+    # checkpoints exist with best_k manifests
+    for exp in ("img_encoder", "poke_encoder", "first_stage"):
+        vdir = os.path.join(base, exp, "ckpt", "tiny", "0")
+        assert os.path.isdir(os.path.join(vdir, "last")), exp
+        assert os.path.exists(os.path.join(vdir, "best_k_models.yaml")), exp
+
+    ss_cfg = {
+        "general": {"experiment": "second_stage", "seed": 1, "debug": True},
+        "first_stage": {
+            "config": os.path.join(base, "first_stage/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "first_stage/ckpt/tiny/0"),
+        },
+        "conditioner": {
+            "use": True,
+            "config": os.path.join(base, "img_encoder/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "img_encoder/ckpt/tiny/0"),
+        },
+        "poke_embedder": {
+            "config": os.path.join(base, "poke_encoder/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "poke_encoder/ckpt/tiny/0"),
+        },
+        "data": dict(DATA, test_batch_size=2),
+        "architecture": {
+            "flow_mid_channels_factor": 2, "kernel_size": [2, 3],
+            "num_steps": [1, 1], "factor": 4, "activation": "elu",
+            "transform": "affine", "prior_transform": "affine",
+            "condition_nice": False, "augmented_input": False,
+        },
+        "training": {"lr": 1e-3, "n_epochs": 1, "lr_scaling_max_it": 5,
+                     "custom_lr_decrease": True, "spatial_mean": False},
+        "testing": {"n_samples_per_data_point": 2, "test_batch_size": 2},
+    }
+    ss_path = _write_cfg(root / "ss.yaml", ss_cfg)
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root], base)
+    assert os.path.isdir(
+        os.path.join(base, "second_stage/ckpt/tiny/0/last"))
+
+    # --test samples on the trained second stage
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "samples"], base)
+    gen = os.path.join(base, "second_stage/generated/tiny/samples")
+    files = os.listdir(gen)
+    assert any(f.endswith(".npy") for f in files)
+    assert any(f.endswith(".mp4") for f in files)
+    samples = np.load(os.path.join(gen, "samples_batch0.npy"))
+    assert samples.ndim == 6 and samples.shape[2] == 3  # (B,S,T,H,W,3)
+    assert np.isfinite(samples).all()
+
+    # --test fvd
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "fvd"], base)
+    import json
+
+    with open(os.path.join(
+            base, "second_stage/generated/tiny/fvd/fvd.json")) as f:
+        fvd = json.load(f)
+    assert np.isfinite(fvd["FVD"])
