@@ -36,11 +36,12 @@ def _data(key, c=C, h_channels=0):
     return x, h
 
 
-def autodiff_logdet(fn, x):
+def autodiff_logdet(fn, x, h=None):
     """log|det J| of fn restricted to one sample, via dense jacobian."""
-    flat_fn = lambda v: fn(v.reshape(x.shape[1:])).ravel()
     out = []
     for b in range(x.shape[0]):
+        hb = None if h is None else h[b : b + 1]
+        flat_fn = lambda v: fn(v.reshape(x.shape[1:]), hb).ravel()
         J = jax.jacfwd(flat_fn)(x[b].ravel())
         sign, ld = np.linalg.slogdet(np.asarray(J, np.float64))
         out.append(ld)
@@ -57,8 +58,7 @@ def check_flow(flow, key=0, c=C, h_channels=0, atol=1e-4, logdet_atol=5e-3,
     assert err < atol, f"inversion error {err}"
     if check_logdet:
         ld_ref = autodiff_logdet(
-            lambda v: flow.forward(params, v[None], None if h is None else h[:1])[0][0],
-            x,
+            lambda v, hb: flow.forward(params, v[None], hb)[0][0], x, h,
         )
         np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=logdet_atol)
     return params, x, h, y, ld
@@ -104,7 +104,7 @@ def test_masked_conv_flow(order, ks):
     y, ld = jax.jit(flow.forward)(params, x, h)
     x_rec = jax.jit(flow.inverse)(params, y, h)
     assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-4
-    ld_ref = autodiff_logdet(lambda v: flow.forward(params, v[None])[0][0], x)
+    ld_ref = autodiff_logdet(lambda v, hb: flow.forward(params, v[None])[0][0], x)
     np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=5e-3)
 
 
@@ -135,7 +135,7 @@ def test_nice2d(split, order):
     y, ld = flow.forward(params, x)
     x_rec = flow.inverse(params, y)
     assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-4
-    ld_ref = autodiff_logdet(lambda v: flow.forward(params, v[None])[0][0], x)
+    ld_ref = autodiff_logdet(lambda v, hb: flow.forward(params, v[None])[0][0], x)
     np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=5e-3)
 
 
