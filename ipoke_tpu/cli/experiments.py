@@ -485,15 +485,39 @@ class SecondStageExperiment(Experiment):
         return {"FVD-val": float(fvd), "flow_loss-val": float(np.mean(nlls))}
 
 
-__experiments__ = {
-    "img_encoder": ImgEncoderExperiment,
-    "poke_encoder": PokeEncoderExperiment,
-    "first_stage": FirstStageExperiment,
-    "second_stage": SecondStageExperiment,
-}
+def _registry():
+    from .fc_experiments import (
+        FlowEncoderFCExperiment,
+        FlowMotionExperiment,
+        ImgEncoderFCExperiment,
+        PokeEncoderFCExperiment,
+        SecondStageFCExperiment,
+    )
+
+    return {
+        # conv pipeline (reference experiments/__init__.py:14-24)
+        "img_encoder": ImgEncoderExperiment,
+        "poke_encoder": PokeEncoderExperiment,
+        "first_stage": FirstStageExperiment,
+        "second_stage": SecondStageExperiment,
+        # FC / third-stage fork
+        "img_encoder_fc": ImgEncoderFCExperiment,
+        "poke_encoder_fc": PokeEncoderFCExperiment,
+        "first_stage_fc": FirstStageExperiment,  # arch.baseline selects FC
+        "second_stage_fc": SecondStageFCExperiment,
+        "flow_encoder_fc": FlowEncoderFCExperiment,
+        "third_stage_fc": FlowMotionExperiment,
+        "flow_motion": FlowMotionExperiment,
+    }
+
+
+__experiments__ = None
 
 
 def select_experiment(config: Config):
+    global __experiments__
+    if __experiments__ is None:
+        __experiments__ = _registry()
     name = config.get_path("general.experiment")
     assert name in __experiments__, (
         f"unknown experiment {name!r}; choose from {sorted(__experiments__)}"

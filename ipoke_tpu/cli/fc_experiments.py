@@ -1,0 +1,351 @@
+"""FC / third-stage experiment wrappers (reference fork experiments:
+``experiments/{third_stage_flow_encoder_fc,second_stage_video_fc,
+third_stage_video_fc}.py`` + the standalone trainers ``FlowAutoencoderFC.py``,
+``opticalFlowINN.py``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import CheckpointStore
+from ..core.config import Config, load_config
+from ..core.optim import flow_adam, gan_adam, warmup_linear_decay
+from .experiments import Experiment, _AEExperiment
+
+
+class FlowEncoderFCExperiment(Experiment):
+    """BigAE VAE-GAN on flow maps (reference FCAEModel via
+    ``flow_encoder_fc``; monitored on perceptual recon error like the
+    reference's lpips-val)."""
+
+    monitor = "lpips-val"
+    datakeys = ["flow", "images"]
+
+    def build(self):
+        from ..models.fc_stack import (
+            build_big_ae,
+            create_fcae_state,
+            make_fcae_train_step,
+        )
+        from ..nn import PatchDiscriminator2D
+        from ..nn.vgg import init_vgg_params
+
+        cfg = self.config
+        self.model = build_big_ae(cfg)
+        self.disc = PatchDiscriminator2D(
+            ndf=cfg.get("disc", {}).get("ndf", 64),
+            n_layers=cfg.get("disc", {}).get("n_layers", 3))
+        self.vgg_params = init_vgg_params(0)
+        self.tx = gan_adam(float(cfg["training"].get("lr", 2e-4)),
+                           float(cfg["training"].get("weight_decay", 1e-5)))
+        self.state = create_fcae_state(self.next_rng(), cfg, self.model,
+                                       self.disc, self.tx, self.tx)
+        self._step = jax.jit(make_fcae_train_step(
+            cfg, self.model, self.disc, self.vgg_params, self.tx, self.tx))
+        self.disc_start = int(cfg.get("disc", {}).get("start", 0))
+        self.key = "flow" if cfg["architecture"].get(
+            "n_out_channels", 2) == 2 else "images"
+
+    def train_step(self, batch, epoch):
+        gate = 1.0 if epoch >= self.disc_start else 0.0
+        return self._step(self.state, batch, self.next_rng(), gate)
+
+    def export_weights(self, state):
+        return {"params": state.params, "stats": {}}
+
+    def validate(self, epoch):
+        from ..eval.metrics import perceptual_distance
+        from ..models.image_ae import _pad3
+        from ..eval import angular_error, endpoint_error
+
+        apply = jax.jit(lambda p, x, r: self.model.apply(
+            {"params": p}, x, rng=r))
+        lp, ee, ae = [], [], []
+        for batch in self.datamodule.val_loader(
+                epoch=epoch, n_batches=self.max_val_batches):
+            x = jnp.asarray(batch[self.key])
+            if self.key == "images" and x.ndim == 5:
+                x = x[:, 0]
+            rec, *_ = apply(self.state.params, x, self.next_rng())
+            a, b = (x, rec) if x.shape[-1] == 3 else (_pad3(x), _pad3(rec))
+            lp.append(np.asarray(perceptual_distance(self.vgg_params, a, b)))
+            if self.key == "flow":
+                ee.append(float(jnp.mean(endpoint_error(x, rec))))
+                ae.append(float(jnp.mean(angular_error(x, rec))))
+        out = {"lpips-val": float(np.mean(np.concatenate(lp)))}
+        if ee:
+            out["EE-val"] = float(np.mean(ee))
+            out["AE-val"] = float(np.mean(ae))
+        return out
+
+
+class _FCEncoderExperiment(_AEExperiment):
+    """FC poke/img encoder (vector latent wrapper)."""
+
+    def build(self):
+        from ..models.fc_baseline import FirstStageFCWrapper
+        from ..models.image_ae import create_image_ae_state, make_image_ae_train_step
+        from ..nn import PatchDiscriminator2D
+        from ..nn.vgg import init_vgg_params
+
+        cfg = self.config
+        arch = cfg["architecture"]
+        self.model = FirstStageFCWrapper(
+            spatial_size=cfg["data"]["spatial_size"][0],
+            nf_in=arch.get("nf_in", 3), nf_max=arch["nf_max"],
+            deterministic=arch.get("deterministic", True),
+            poke_and_image=arch.get("poke_and_image", False))
+        self.disc = PatchDiscriminator2D(
+            ndf=cfg.get("disc", {}).get("ndf", 64),
+            n_layers=cfg.get("disc", {}).get("n_layers", 3))
+        self.vgg_params = init_vgg_params(0)
+        self.tx = gan_adam(float(cfg["training"].get("lr", 2e-4)))
+        self.state = create_image_ae_state(
+            self.next_rng(), cfg, self.model, self.disc, self.tx, self.tx,
+            use_disc=self.use_disc)
+        self._step = jax.jit(make_image_ae_train_step(
+            cfg, self.model, self.disc, self.vgg_params, self.tx, self.tx,
+            use_disc=self.use_disc))
+        self.disc_start = int(cfg.get("disc", {}).get("start", 0))
+
+
+class ImgEncoderFCExperiment(_FCEncoderExperiment):
+    datakeys = ["images"]
+    use_disc = True
+
+
+class PokeEncoderFCExperiment(_FCEncoderExperiment):
+    datakeys = ["images", "poke", "flow"]
+    use_disc = False
+
+    def __init__(self, config, dirs, **kw):
+        config["input_key"] = "poke"
+        config["target_key"] = "flow"
+        super().__init__(config, dirs, **kw)
+
+
+class SecondStageFCExperiment(Experiment):
+    """FC cINN over the frozen FC first stage + FC encoders (reference
+    ``second_stage_video_fc``)."""
+
+    monitor = "FVD-val"
+    datakeys = ["images", "poke", "flow"]
+
+    def _load_frozen(self):
+        from ..models.fc_baseline import FirstStageFCWrapper
+        from ..models.first_stage import build_first_stage
+        from ..models.second_stage import FrozenBundle
+
+        K = jax.random.PRNGKey
+        s = self.config["data"]["spatial_size"][0]
+        T = self.config["data"]["max_frames"]
+
+        def load(section, model, init_x):
+            sec = self.config[section]
+            sub_cfg = load_config(sec["config"]) if isinstance(
+                sec.get("config"), str) else Config(sec.get("config", {}))
+            v = (model.init({"params": K(0)}, init_x, rng=K(1), train=False)
+                 if section == "first_stage" else
+                 model.init({"params": K(0)}, init_x, train=False))
+            state = {"params": v["params"],
+                     "stats": v.get("batch_stats", {})}
+            if sec.get("ckpt"):
+                state = CheckpointStore(sec["ckpt"]).restore_best(
+                    state, weights=True)
+            return model, FrozenBundle(state["params"], state["stats"])
+
+        fs_cfg = self.config["first_stage"]
+        sub = load_config(fs_cfg["config"]) if isinstance(
+            fs_cfg.get("config"), str) else Config(fs_cfg["config"])
+        fs_model, *_ = build_first_stage(sub)
+        fs_model, fs_b = load("first_stage", fs_model,
+                              jnp.zeros((1, T + 1, s, s, 3)))
+        ca = self.config["conditioner"]["architecture"] if isinstance(
+            self.config.get("conditioner", {}).get("architecture"), dict
+        ) else {}
+        cond = FirstStageFCWrapper(
+            spatial_size=s, nf_in=3,
+            nf_max=self.config["conditioner"].get("nf_max", 64))
+        cond, cond_b = load("conditioner", cond, jnp.zeros((1, s, s, 3)))
+        poke = FirstStageFCWrapper(
+            spatial_size=s, nf_in=2,
+            nf_max=self.config["poke_embedder"].get("nf_max", 64))
+        poke, poke_b = load("poke_embedder", poke, jnp.zeros((1, s, s, 2)))
+        return fs_model, cond, poke, {"fs": fs_b, "cond": cond_b,
+                                      "poke": poke_b}
+
+    def build(self):
+        from ..models.fc_baseline import SecondStageModelFC
+        from ..models.second_stage import FlowTrainState
+
+        fs_model, cond, poke, self.frozen = self._load_frozen()
+        self.model = SecondStageModelFC(self.config, fs_model, cond, poke)
+        tcfg = self.config["training"]
+        sched = warmup_linear_decay(
+            float(tcfg.get("lr", 1e-3)),
+            int(tcfg.get("lr_scaling_max_it", 500)),
+            self.n_epochs * self.max_batches)
+        params = self.model.init(self.next_rng())
+        self.tx = flow_adam(sched, params=params)
+        self.state = FlowTrainState(params=params, opt=self.tx.init(params),
+                                    step=jnp.zeros((), jnp.int32))
+        self._ddi_done = False
+
+        from ..flows import flow_loss
+        import optax
+        from ..core.optim import zero_buffer_grads
+
+        def _step(state, frozen, batch, rng):
+            r1, r2 = jax.random.split(rng)
+
+            def loss_fn(p):
+                z, logdet = self.model.forward_density(p, frozen, batch, r1)
+                return flow_loss(z, logdet, rng=r2)
+
+            (loss, log), grads = jax.value_and_grad(
+                loss_fn, has_aux=True, allow_int=True)(state.params)
+            grads = zero_buffer_grads(grads, state.params)
+            upd, opt = self.tx.update(grads, state.opt, state.params)
+            return state.replace(
+                params=optax.apply_updates(state.params, upd), opt=opt,
+                step=state.step + 1), log
+
+        self._step = jax.jit(_step)
+
+    def train_step(self, batch, epoch):
+        if not self._ddi_done:
+            self.state = self.state.replace(params=self.model.ddi(
+                self.state.params, self.frozen, batch, self.next_rng()))
+            self._ddi_done = True
+        return self._step(self.state, self.frozen, batch, self.next_rng())
+
+    def export_weights(self, state):
+        return {"params": state.params}
+
+    def validate(self, epoch):
+        from ..eval import compute_fvd, init_i3d_params
+
+        if not hasattr(self, "_i3d"):
+            s = self.config["data"]["spatial_size"][0]
+            self._i3d = init_i3d_params(
+                0, spatial=s, frames=self.config["data"]["max_frames"])
+        T = self.config["data"]["max_frames"]
+        sample = jax.jit(lambda p, f, b, r: self.model.forward_sample(
+            p, f, b, r, length=T))
+        reals, fakes = [], []
+        for batch in self.datamodule.val_loader(
+                epoch=epoch, n_batches=self.max_val_batches):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            vid = sample(self.state.params, self.frozen, batch,
+                         self.next_rng())
+            reals.append(np.asarray(batch["images"][:, 1:]))
+            fakes.append(np.asarray(vid))
+        fvd = compute_fvd(self._i3d, np.concatenate(reals),
+                          np.concatenate(fakes),
+                          batch_size=min(8, sum(r.shape[0] for r in reals)))
+        return {"FVD-val": float(fvd)}
+
+
+class FlowMotionExperiment(Experiment):
+    """Conv third stage (reference ``opticalFlowINN.py`` / ``flow_motion.py``):
+    train the bridge INN against the frozen conv second stage + flow VAE.
+    Monitored on endpoint error of hallucinated flow (reference
+    ``val-EE_R3``-style, third_stage_video_fc experiment)."""
+
+    monitor = "EE-val"
+    datakeys = ["images", "poke", "flow"]
+
+    def build(self):
+        from ..models.second_stage import FlowTrainState, FrozenBundle
+        from ..models.third_stage import (
+            ConvFlowVAE,
+            FlowMotionModel,
+            create_third_stage_state,
+            make_flow_motion_train_step,
+        )
+        from .experiments import SecondStageExperiment
+
+        cfg = self.config
+        # reuse the second-stage experiment's frozen-model loader
+        helper = SecondStageExperiment.__new__(SecondStageExperiment)
+        helper.config = cfg
+        fs_model, cond_model, poke_model, frozen = helper._load_frozen()
+        from ..models.second_stage import SecondStageModel
+
+        ss_cfg = load_config(cfg["second_stage"]["config"]) if isinstance(
+            cfg["second_stage"].get("config"), str) else Config(
+            cfg["second_stage"]["config"])
+        self.ss_model = SecondStageModel(ss_cfg, fs_model, cond_model,
+                                         poke_model)
+        ss_params = self.ss_model.init(jax.random.PRNGKey(0))
+        if cfg["second_stage"].get("ckpt"):
+            ss_params = CheckpointStore(
+                cfg["second_stage"]["ckpt"]).restore_best(
+                {"params": ss_params}, weights=True)["params"]
+        self.ss_params = ss_params
+
+        arch = cfg["architecture"]
+        s = cfg["data"]["spatial_size"][0]
+        self.flow_vae = ConvFlowVAE(
+            spatial_size=s,
+            bottleneck_channels=arch.get("flow_vae_channels", 8),
+            nf_max=arch.get("flow_vae_nf_max", 64),
+            min_spatial_size=self.ss_model.min_spatial_size)
+        fv_sec = cfg.get("flow_vae", {})
+        v = self.flow_vae.init(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, s, s, 2)),
+            rng=jax.random.PRNGKey(2))
+        fv_state = {"params": v["params"],
+                    "stats": v.get("batch_stats", {})}
+        if fv_sec.get("ckpt"):
+            fv_state = CheckpointStore(fv_sec["ckpt"]).restore_best(
+                fv_state, weights=True)
+        frozen["flow_vae"] = FrozenBundle(fv_state["params"],
+                                          fv_state["stats"])
+        self.frozen = frozen
+
+        self.model = FlowMotionModel(cfg, self.ss_model, self.flow_vae)
+        tcfg = cfg["training"]
+        sched = warmup_linear_decay(
+            float(tcfg.get("lr", 1e-3)),
+            int(tcfg.get("lr_scaling_max_it", 500)),
+            self.n_epochs * self.max_batches)
+        state = create_third_stage_state(
+            self.next_rng(), self.model, flow_adam(sched),
+            weight_recon=float(tcfg.get("weight_recon", 1.0)))
+        self.tx = flow_adam(sched, params=state.params)
+        self.state = state.replace(opt=self.tx.init(state.params))
+        self._step = jax.jit(make_flow_motion_train_step(
+            self.model, self.ss_params, self.tx))
+
+    def train_step(self, batch, epoch):
+        from ..models.third_stage import double_recon_weight_schedule
+
+        if self.config["training"].get("recon_scaling", False):
+            self.state = double_recon_weight_schedule(self.state, epoch)
+        return self._step(self.state, self.frozen, batch, self.next_rng())
+
+    def export_weights(self, state):
+        return {"params": state.params}
+
+    def validate(self, epoch):
+        from ..eval import angular_error, endpoint_error
+
+        sample = jax.jit(lambda p, f, b, r:
+                         self.model.forward_sample_flow(p, f, b, r))
+        ees, aes = [], []
+        for batch in self.datamodule.val_loader(
+                epoch=epoch, n_batches=self.max_val_batches):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            flow_hat = sample(self.state.params, self.frozen, batch,
+                              self.next_rng())
+            ees.append(float(jnp.mean(endpoint_error(batch["flow"],
+                                                     flow_hat))))
+            aes.append(float(jnp.mean(angular_error(batch["flow"],
+                                                    flow_hat))))
+        return {"EE-val": float(np.mean(ees)), "AE-val": float(np.mean(aes))}

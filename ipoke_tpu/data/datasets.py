@@ -159,6 +159,13 @@ class VideoDataset:
     def _load_flow(self, ids) -> np.ndarray:
         start, length = ids
         path = self.datadict["flow_paths"][start, self.valid_lags[0]]
+        # fast path: native fused load+resize(+magnitude rescale)
+        from ..ops.native import load_flow as native_load_flow
+
+        out = native_load_flow(str(path), self.spatial_size[0],
+                               self.spatial_size[1], self.scale_poke_to_res)
+        if out is not None:
+            return out
         try:
             raw = np.load(path)
         except ValueError:

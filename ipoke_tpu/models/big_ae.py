@@ -101,12 +101,12 @@ class BigGANGenerator(nn.Module):
     dtype: Any = None
 
     def _arch(self):
-        if self.spatial_size == 128:
-            mults_in = (16, 16, 8, 4, 2)
-            mults_out = (16, 8, 4, 2, 1)
-        else:  # 64
-            mults_in = (16, 16, 8, 4)
-            mults_out = (16, 8, 4, 2)
+        import numpy as np
+
+        n_blocks = int(np.log2(self.spatial_size)) - 2  # 4x4 start
+        # reference Generator64/128 width plans, generalized to any 2^k
+        mults_out = tuple([16, 8, 4, 2, 1][:n_blocks])
+        mults_in = (16,) + mults_out[:-1]
         return mults_in, mults_out
 
     @nn.compact
@@ -201,8 +201,10 @@ class BigAE(nn.Module):
     dtype: Any = None
 
     def setup(self):
+        import numpy as np
+
         self.encoder = ResnetEncoder(z_dim=self.z_dim, dtype=self.dtype)
-        n_blocks = 6 if self.spatial_size == 128 else 5
+        n_blocks = int(np.log2(self.spatial_size)) - 2 + 1  # + input chunk
         self.gen_z_dim = ((self.z_dim + n_blocks - 1) // n_blocks) * n_blocks
         self.class_up = ClassUp(out_dim=128, dtype=self.dtype)
         self.decoder = BigGANGenerator(

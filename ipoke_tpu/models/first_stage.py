@@ -306,24 +306,42 @@ def make_first_stage_train_step(
     return step
 
 
-def build_first_stage(config) -> Tuple[FirstStageModel, Any, Any]:
-    """Model + discriminators from a reference-style config tree."""
+def build_first_stage(config) -> Tuple[Any, Any, Any]:
+    """Model + discriminators from a reference-style config tree.
+
+    ``architecture.baseline: True`` selects the FC vector-latent baseline
+    (reference experiments/first_stage_video.py:16-23)."""
     arch = config["architecture"]
     dcfg = config["data"]
-    model = FirstStageModel(
-        spatial_size=dcfg["spatial_size"][0],
-        z_dim=arch["z_dim"],
-        enc_channels=tuple(arch["ENC_M_channels"]),
-        dec_channels=tuple(arch["dec_channels"]),
-        n_gru_layers=arch.get("n_gru_layers", 4),
-        min_spatial_size=arch.get("min_spatial_size", 8),
-        max_frames=dcfg["max_frames"],
-        full_seq=config["training"].get("full_sequence", True),
-        use_motion_bias=arch.get("motion_bias", True),
-        norm=arch.get("norm", "group"),
-        spectral_norm=arch.get("spectral_norm", True),
-        deterministic=arch.get("deterministic", False),
-    )
+    if arch.get("baseline", False):
+        from .fc_baseline import FCBaselineModel
+
+        model = FCBaselineModel(
+            spatial_size=dcfg["spatial_size"][0],
+            z_dim=arch["z_dim"],
+            enc_channels=tuple(arch["ENC_M_channels"]),
+            dec_channels=tuple(arch["dec_channels"]),
+            n_gru_layers=arch.get("n_gru_layers", 2),
+            max_frames=dcfg["max_frames"],
+            full_seq=config["training"].get("full_sequence", True),
+            use_spade=arch.get("CN_content", "spade") == "spade",
+            deterministic=arch.get("deterministic", False),
+        )
+    else:
+        model = FirstStageModel(
+            spatial_size=dcfg["spatial_size"][0],
+            z_dim=arch["z_dim"],
+            enc_channels=tuple(arch["ENC_M_channels"]),
+            dec_channels=tuple(arch["dec_channels"]),
+            n_gru_layers=arch.get("n_gru_layers", 4),
+            min_spatial_size=arch.get("min_spatial_size", 8),
+            max_frames=dcfg["max_frames"],
+            full_seq=config["training"].get("full_sequence", True),
+            use_motion_bias=arch.get("motion_bias", True),
+            norm=arch.get("norm", "group"),
+            spectral_norm=arch.get("spectral_norm", True),
+            deterministic=arch.get("deterministic", False),
+        )
     disc_s = PatchDiscriminator2D(
         ndf=config["d_s"].get("ndf", 64),
         n_layers=config["d_s"].get("n_layers", 3),

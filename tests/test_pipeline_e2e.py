@@ -152,3 +152,61 @@ def test_full_three_stage_pipeline(pipeline_env):
             base, "second_stage/generated/tiny/fvd/fvd.json")) as f:
         fvd = json.load(f)
     assert np.isfinite(fvd["FVD"])
+
+
+def test_fc_flow_encoder_and_third_stage(pipeline_env):
+    """Fork pipeline: flow_encoder_fc (BigGAN-AE) + flow_motion third stage
+    on top of the stage-1/2 artifacts produced by the previous test."""
+    root, data_root, base = (pipeline_env["root"], pipeline_env["data_root"],
+                             pipeline_env["base"])
+    assert os.path.isdir(os.path.join(base, "second_stage/ckpt/tiny/0")), (
+        "run the 3-stage test first")
+
+    fcae_cfg = {
+        "general": {"experiment": "flow_encoder_fc", "seed": 1, "debug": True},
+        "data": DATA,
+        "architecture": {"z_dim": 8, "n_out_channels": 2, "gen_ch": 8},
+        "training": {"lr": 2e-4, "n_epochs": 1, "perc_weight": 1.0,
+                     "kl_weight": 1e-6, "disc_weight": 1.0},
+        "disc": {"ndf": 16, "n_layers": 2, "start": 0},
+    }
+    path = _write_cfg(root / "fcae.yaml", fcae_cfg)
+    _run_main(["--config", path, "--model_name", "tiny",
+               "--data_root", data_root], base)
+    assert os.path.isdir(
+        os.path.join(base, "flow_encoder_fc/ckpt/tiny/0/last_weights"))
+
+    fm_cfg = {
+        "general": {"experiment": "flow_motion", "seed": 1, "debug": True},
+        "first_stage": {
+            "config": os.path.join(base, "first_stage/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "first_stage/ckpt/tiny/0")},
+        "conditioner": {
+            "use": True,
+            "config": os.path.join(base, "img_encoder/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "img_encoder/ckpt/tiny/0")},
+        "poke_embedder": {
+            "config": os.path.join(base, "poke_encoder/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "poke_encoder/ckpt/tiny/0")},
+        "second_stage": {
+            "config": os.path.join(base, "second_stage/config/tiny/0.yaml"),
+            "ckpt": os.path.join(base, "second_stage/ckpt/tiny/0")},
+        "flow_vae": {"ckpt": None},
+        "data": DATA,
+        "architecture": {"num_steps": [1], "flow_mid_channels_factor": 2,
+                         "factor": 4, "flow_vae_channels": 4,
+                         "flow_vae_nf_max": 16},
+        "training": {"lr": 1e-3, "n_epochs": 1, "lr_scaling_max_it": 5,
+                     "weight_recon": 1.0, "recon_scaling": False},
+    }
+    path = _write_cfg(root / "fm.yaml", fm_cfg)
+    _run_main(["--config", path, "--model_name", "tiny",
+               "--data_root", data_root], base)
+    import yaml as _y
+
+    manifest = os.path.join(base, "flow_motion/ckpt/tiny/0/best_k_models.yaml")
+    assert os.path.exists(manifest)
+    with open(os.path.join(
+            base, "flow_motion/log/tiny/0/metrics.jsonl")) as f:
+        lines = [l for l in f if "EE-val" in l]
+    assert lines, "validation EE metric not logged"
