@@ -135,6 +135,18 @@ class MaskedConvFlow(Flow):
         return y, ld, new
 
     def inverse(self, params, y, h=None):
+        from ..ops import pallas_enabled
+
+        if self.transform == "affine" and pallas_enabled():
+            from ..ops.masked_conv import masked_conv_inverse_pallas
+            from .primitives import _v_norm
+
+            out = params["out"]
+            w_out = (out["v"] * (out["g"] / _v_norm(out["v"])))[0, 0]
+            return masked_conv_inverse_pallas(
+                y, h if self.h_channels else None, params["w_shift"],
+                w_out, out["b"], self.order, self.alpha,
+            )
         if self.order in ("A", "B"):
             return self._inverse_height(params, y, h, reverse=(self.order == "B"))
         # C/D: transpose H<->W, kernel axes, run the height scan
