@@ -258,6 +258,47 @@ def test_transfer(experiment) -> Dict[str, float]:
     return {"n_transferred": float(vid.shape[0])}
 
 
+def test_kps_acc(experiment) -> Dict[str, float]:
+    """Targeted keypoint error with keypoint pokes: poke a keypoint with its
+    true displacement, estimate keypoints on the generated video, compare to
+    the target trajectory (reference ``_test_step_kps_acc``,
+    second_stage_video.py:772-794).  Needs keypoint metadata (pose prep) —
+    falls back to the standard poke key when absent."""
+    from ..eval.pose import PoseEstimator, keypoint_mse
+
+    _restore_trained(experiment)
+    est = PoseEstimator(
+        input_size=experiment.config["data"]["spatial_size"][0])
+    sample = _sample_fn(experiment)
+    dset = experiment.datamodule.dset_test
+    has_kp = getattr(dset, "keypoints", None) is not None
+    if has_kp and "keypoint_poke" not in dset.datakeys:
+        dset.datakeys.append("keypoint_poke")
+        dset.datakeys.append("keypoints_abs")
+    n_batches = 2 if experiment.debug else 10
+    errs = []
+    for batch in experiment.datamodule.test_loader(n_batches=n_batches):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if has_kp:
+            batch = dict(batch)
+            batch["poke"] = batch["keypoint_poke"]
+        vid = sample(experiment.state.params, experiment.frozen, batch,
+                     experiment.next_rng())
+        kps_fake = est(np.asarray(vid[:, -1]))
+        if has_kp:
+            kps_real = np.asarray(batch["keypoints_abs"][:, -1])
+        else:
+            kps_real = est(np.asarray(batch["images"][:, -1]))
+        errs.append(keypoint_mse(kps_fake, kps_real,
+                                 norm=vid.shape[2]))
+    result = {"kps_mse": float(np.mean(np.concatenate(errs))),
+              "annotated_keypoints": float(has_kp)}
+    d = _out_dir(experiment, "kps_acc")
+    with open(os.path.join(d, "metrics.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
 _MODES = {
     "samples": test_samples,
     "fvd": test_fvd,
@@ -265,6 +306,7 @@ _MODES = {
     "diversity": test_diversity,
     "control_sensitivity": test_control_sensitivity,
     "transfer": test_transfer,
+    "kps_acc": test_kps_acc,
 }
 
 

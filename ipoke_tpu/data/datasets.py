@@ -248,7 +248,11 @@ class VideoDataset:
                     elif key == "keypoints_rel":
                         out[key] = self._get_keypoints(ids, rng, abs=False)
                     elif key == "keypoint_poke":
-                        out[key] = self._get_keypoint_poke(ids, rng)
+                        kp_poke, kp_centers, kp_ids = \
+                            self._get_keypoint_poke(ids, rng)
+                        out[key] = kp_poke
+                        out["keypoint_poke_coords"] = kp_centers
+                        out["keypoint_poke_ids"] = kp_ids
                     elif key == "nn":
                         out[key] = self._get_nn(ids, rng)
                 return out
@@ -278,20 +282,52 @@ class PlantDataset(VideoDataset):
 
 class IperDataset(VideoDataset):
     """iPER (reference flow_dataset.py:372-562): official actor split,
-    keypoint metadata when available."""
+    keypoint metadata when available (run the ``pose_estimation`` prep)."""
 
     subsample_step = 1
 
     def _set_instance_specific_values(self):
         self.keypoints = self.datadict.get("keypoints")
+        self.kp_nn = self.datadict.get("kp_nn")
 
     def _get_keypoints(self, ids, rng, abs=True, **kw):
         if self.keypoints is None:
             raise NotImplementedError("meta has no keypoints (run pose prep)")
-        kps = self.keypoints[ids[0]].astype(np.float32)
+        frame_ids = [
+            min(ids[0] + i * self.subsample_step, int(self.seq_end_id[ids[0]]))
+            for i in range(self.max_frames + 1)
+        ]
+        kps = self.keypoints[frame_ids].astype(np.float32)
         if not abs:
             kps = kps / np.asarray(self.spatial_size, np.float32)
         return kps
+
+    def _get_keypoint_poke(self, ids, rng, **kw):
+        """Poke at an annotated keypoint with the keypoint's displacement
+        over the clip as value (reference base_dataset.py:460-495)."""
+        kps = self._get_keypoints(ids, rng, abs=True)
+        kp0, kpT = kps[0], kps[-1]
+        disp = kpT - kp0
+        mag = np.linalg.norm(disp, axis=-1)
+        cand = np.flatnonzero(mag > np.median(mag))
+        if cand.size == 0:
+            cand = np.arange(kp0.shape[0])
+        k = int(rng.choice(cand))
+        poke = np.zeros((*self.spatial_size, 2), np.float32)
+        x, y = kp0[k]
+        r, c = int(np.clip(y, 0, self.spatial_size[0] - 1)), int(
+            np.clip(x, 0, self.spatial_size[1] - 1))
+        half = self.poke_size // 2
+        poke[max(0, r - half): r + half + 1,
+             max(0, c - half): c + half + 1] = disp[k][::-1]  # (dy, dx)
+        centers = np.full((self.n_pokes, 2), -1, np.int32)
+        centers[0] = (r, c)
+        return poke, centers, np.asarray([k], np.int32)
+
+    def _get_nn(self, ids, rng, **kw):
+        if self.kp_nn is None:
+            raise NotImplementedError("meta has no kp_nn (run pose prep)")
+        return np.asarray(self.kp_nn[ids[0]], np.int64)
 
 
 class TaichiDataset(VideoDataset):

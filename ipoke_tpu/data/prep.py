@@ -151,6 +151,41 @@ def prepare(processed_dir: str, meta_path: Optional[str] = None,
     return meta
 
 
+def pose_estimation(processed_dir: str, meta_path: Optional[str] = None,
+                    batch_size: int = 16, input_size: int = 64,
+                    pose_params=None) -> dict:
+    """Run pose inference over all frames and write keypoints + keypoint-space
+    nearest-neighbor ids into the meta pickle (reference
+    ``prepare_dataset.py:461-516`` -> ``meta_kp_nn.p``)."""
+    import cv2
+
+    from ..eval.pose import PoseEstimator, keypoint_nearest_neighbors
+
+    meta_path = meta_path or os.path.join(processed_dir, "meta.p")
+    with open(meta_path, "rb") as f:
+        meta = pickle.load(f)
+    est = PoseEstimator(params=pose_params, input_size=input_size)
+    paths = [os.path.join(processed_dir, str(p)) for p in meta["img_path"]]
+    kps_all = []
+    for i in range(0, len(paths), batch_size):
+        frames = []
+        for p in paths[i : i + batch_size]:
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            img = cv2.resize(img, (input_size, input_size))
+            frames.append(img.astype(np.float32) / 127.5 - 1.0)
+        kps_all.append(est(np.stack(frames)))
+    kps = np.concatenate(kps_all, axis=0)
+    meta["keypoints"] = kps
+    meta["kp_nn"] = keypoint_nearest_neighbors(
+        kps, np.asarray(meta["vid"]))
+    out_path = os.path.join(processed_dir, "meta_kp_nn.p")
+    with open(out_path, "wb") as f:
+        pickle.dump(meta, f)
+    with open(meta_path, "wb") as f:
+        pickle.dump(meta, f)
+    return meta
+
+
 def make_synthetic_dataset(root: str, n_videos: int = 4, n_frames: int = 16,
                            spatial_size: int = 64, seed: int = 0,
                            flow_delta: int = 5) -> dict:
@@ -188,7 +223,8 @@ def make_synthetic_dataset(root: str, n_videos: int = 4, n_frames: int = 16,
 
 def main():
     p = argparse.ArgumentParser(description="offline dataset preparation")
-    p.add_argument("--mode", choices=["extract", "prepare", "all"],
+    p.add_argument("--mode",
+                   choices=["extract", "prepare", "pose_estimation", "all"],
                    default="all")
     p.add_argument("--raw_dir")
     p.add_argument("--processed_dir", required=True)
@@ -204,6 +240,8 @@ def main():
         extract(cfg)
     if args.mode in ("prepare", "all"):
         prepare(args.processed_dir)
+    if args.mode == "pose_estimation":
+        pose_estimation(args.processed_dir)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,77 @@
+"""Pose-estimation machinery: heatmap decoding, estimator wrapper, keypoint
+metrics, NN metadata, iPER keypoint pokes, pose prep mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipoke_tpu.eval.pose import (
+    PoseEstimator,
+    PoseResNet,
+    get_max_preds,
+    keypoint_mse,
+    keypoint_nearest_neighbors,
+)
+
+K = jax.random.PRNGKey
+
+
+def test_get_max_preds_decodes_argmax():
+    hm = np.zeros((2, 16, 16, 3), np.float32)
+    hm[0, 5, 7, 0] = 1.0
+    hm[0, 2, 3, 1] = 2.0
+    hm[1, 15, 0, 2] = 0.5
+    # joint with all-zero heatmap -> (-1, -1)
+    coords, maxvals = get_max_preds(jnp.asarray(hm))
+    coords = np.asarray(coords)
+    np.testing.assert_allclose(coords[0, 0], [7, 5])
+    np.testing.assert_allclose(coords[0, 1], [3, 2])
+    np.testing.assert_allclose(coords[1, 2], [0, 15])
+    assert (coords[0, 2] == -1).all()  # zero heatmap
+    assert (coords[1, 0] == -1).all()
+
+
+def test_pose_estimator_shapes_and_scale():
+    est = PoseEstimator(n_joints=5, input_size=32)
+    frames = jax.random.uniform(K(0), (2, 32, 32, 3), minval=-1, maxval=1)
+    kps = est(frames)
+    assert kps.shape == (2, 5, 2)
+    assert kps.max() < 32 and kps.min() >= -8  # pixel coords (or -1*scale)
+
+
+def test_keypoint_metrics_and_nn():
+    a = np.zeros((4, 17, 2))
+    b = np.ones((4, 17, 2)) * 3.0
+    mse = keypoint_mse(a, b)
+    np.testing.assert_allclose(mse, 18.0)
+
+    kps = np.stack([a[0], a[0] + 0.1, b[0], b[0] + 0.1])
+    groups = np.asarray([0, 1, 2, 3])
+    nn_idx = keypoint_nearest_neighbors(kps, groups)
+    assert nn_idx[0] == 1 and nn_idx[1] == 0
+    assert nn_idx[2] == 3 and nn_idx[3] == 2
+    # same-group exclusion
+    groups2 = np.asarray([0, 0, 1, 1])
+    nn_idx2 = keypoint_nearest_neighbors(kps, groups2)
+    assert nn_idx2[0] in (2, 3)
+
+
+def test_pose_prep_and_keypoint_poke(tmp_path):
+    from ipoke_tpu.data.datasets import IperDataset
+    from ipoke_tpu.data.prep import make_synthetic_dataset, pose_estimation
+
+    root = str(tmp_path / "iper")
+    make_synthetic_dataset(root, n_videos=3, n_frames=10, spatial_size=32,
+                           flow_delta=4)
+    meta = pose_estimation(root, input_size=32)
+    assert "keypoints" in meta and "kp_nn" in meta
+    assert meta["keypoints"].shape[1:] == (17, 2)
+
+    cfg = {"spatial_size": (32, 32), "max_frames": 3, "poke_size": 3,
+           "n_pokes": 1, "yield_videos": True}
+    dset = IperDataset(cfg, ["images", "keypoint_poke", "keypoints_abs"],
+                       train=True, data_root=root)
+    item = dset.get_item(0, np.random.default_rng(0))
+    assert item["keypoint_poke"].shape == (32, 32, 2)
+    assert item["keypoints_abs"].shape == (4, 17, 2)
+    assert item["keypoint_poke_coords"][0, 0] >= 0
