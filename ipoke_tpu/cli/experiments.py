@@ -151,17 +151,38 @@ class Experiment:
         if self.resume:
             self.state = self.store.restore(self.state, "last")
             self.logger.info(f"resumed from {self.version_dir}/last")
+        profile = bool(self.config.get_path("general.profiler", False))
+        profile_dir = os.path.join(self.dirs["log"], str(self.version),
+                                   "profile")
         t_start = time.time()
         step = 0
+        step_time_ema = None
         for epoch in range(self.n_epochs):
             loader = self.datamodule.train_loader(
                 epoch=epoch, n_batches=self.max_batches
             )
             for batch in loader:
+                # jax.profiler trace of steps 10..14 of the first epoch
+                # (replaces PL AdvancedProfiler, reference experiment.py:84-85)
+                if profile and epoch == 0 and step == 10:
+                    jax.profiler.start_trace(profile_dir)
+                t0 = time.time()
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 self.state, metrics = self.train_step(batch, epoch)
+                for leaf in jax.tree_util.tree_leaves(metrics):
+                    if hasattr(leaf, "block_until_ready"):
+                        leaf.block_until_ready()
+                        break
+                dt = time.time() - t0
+                step_time_ema = dt if step_time_ema is None else (
+                    0.9 * step_time_ema + 0.1 * dt)
+                if profile and epoch == 0 and step == 14:
+                    jax.profiler.stop_trace()
+                    self.logger.info(f"profile trace in {profile_dir}")
                 step += 1
                 if step % 50 == 1:
+                    metrics = dict(metrics)
+                    metrics["step_time_s"] = step_time_ema
                     self.metrics_logger.log(
                         {f"train/{k}": v for k, v in metrics.items()}, step
                     )
@@ -466,7 +487,7 @@ class SecondStageExperiment(Experiment):
             p, f, b, r))
         sample = jax.jit(lambda p, f, b, r: self.model.forward_sample(
             p, f, b, r, length=T))
-        nlls, reals, fakes = [], [], []
+        nlls, reals, fakes, zs = [], [], [], []
         for batch in self.datamodule.val_loader(
             epoch=epoch, n_batches=self.max_val_batches
         ):
@@ -475,6 +496,7 @@ class SecondStageExperiment(Experiment):
                                 self.next_rng())
             loss, _ = flow_loss(z, logdet)
             nlls.append(float(loss))
+            zs.append(np.asarray(z))
             vid = sample(self.state.params, self.frozen, batch,
                          self.next_rng())
             reals.append(np.asarray(batch["images"][:, 1:]))
@@ -482,6 +504,18 @@ class SecondStageExperiment(Experiment):
         fvd = compute_fvd(self._i3d, np.concatenate(reals),
                           np.concatenate(fakes),
                           batch_size=min(8, sum(r.shape[0] for r in reals)))
+        # latent diagnostic scatter (reference log_umap every 3 epochs,
+        # second_stage_video.py:599-638; PCA here)
+        if epoch % 3 == 0:
+            from ..utils.latent_viz import plot_latent_scatter
+
+            z_all = np.concatenate(zs)
+            ref = np.random.default_rng(epoch).normal(size=z_all.shape)
+            out_dir = os.path.join(self.dirs["generated"], "latents")
+            os.makedirs(out_dir, exist_ok=True)
+            plot_latent_scatter(
+                {"flow(z_m)": z_all, "N(0,I)": ref},
+                os.path.join(out_dir, f"epoch_{epoch:04d}.png"))
         return {"FVD-val": float(fvd), "flow_loss-val": float(np.mean(nlls))}
 
 
@@ -490,6 +524,7 @@ def _registry():
         FlowEncoderFCExperiment,
         FlowMotionExperiment,
         ImgEncoderFCExperiment,
+        INNFCAEExperiment,
         PokeEncoderFCExperiment,
         SecondStageFCExperiment,
     )
@@ -508,6 +543,7 @@ def _registry():
         "flow_encoder_fc": FlowEncoderFCExperiment,
         "third_stage_fc": FlowMotionExperiment,
         "flow_motion": FlowMotionExperiment,
+        "inn_fcae": INNFCAEExperiment,
     }
 
 

@@ -251,6 +251,106 @@ class SecondStageFCExperiment(Experiment):
         return {"FVD-val": float(fvd)}
 
 
+class INNFCAEExperiment(Experiment):
+    """Unconditional flat-INN density model on frozen BigAE flow latents
+    (reference ``FCAEINNModel``, experiments/fully_connected_ae_INN.py:42)."""
+
+    monitor = "flow_loss-val"
+    datakeys = ["flow"]
+
+    def build(self):
+        import optax
+
+        from ..core.optim import zero_buffer_grads
+        from ..flows import flow_loss
+        from ..flows.fc import build_unsupervised_transformer3
+        from ..models.big_ae import BigAE
+        from ..models.second_stage import FlowTrainState, FrozenBundle
+
+        cfg = self.config
+        fe_sec = cfg["flow_encoder"]
+        fe_cfg = load_config(fe_sec["config"]) if isinstance(
+            fe_sec.get("config"), str) else Config(fe_sec["config"])
+        from ..models.fc_stack import build_big_ae
+
+        self.flow_encoder = build_big_ae(fe_cfg)
+        s = fe_cfg["data"]["spatial_size"][0]
+        c = fe_cfg["architecture"].get("n_out_channels", 2)
+        v = self.flow_encoder.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, s, s, c)),
+            rng=jax.random.PRNGKey(1))
+        state_fe = {"params": v["params"], "stats": {}}
+        if fe_sec.get("ckpt"):
+            state_fe = CheckpointStore(fe_sec["ckpt"]).restore_best(
+                state_fe, weights=True)
+        self.frozen = {"flow_enc": FrozenBundle(state_fe["params"],
+                                                state_fe["stats"])}
+
+        arch = dict(cfg["architecture"])
+        arch.setdefault("flow_in_channels",
+                        fe_cfg["architecture"]["z_dim"])
+        arch.setdefault("flow_mid_channels",
+                        4 * arch["flow_in_channels"])
+        self.inn = build_unsupervised_transformer3(arch)
+        params = {"inn": self.inn.init(
+            jax.random.PRNGKey(2), (1, arch["flow_in_channels"]))}
+        tcfg = cfg["training"]
+        sched = warmup_linear_decay(
+            float(tcfg.get("lr", 1e-3)),
+            int(tcfg.get("lr_scaling_max_it", 500)),
+            self.n_epochs * self.max_batches)
+        self.tx = flow_adam(sched, params=params)
+        self.state = FlowTrainState(params=params, opt=self.tx.init(params),
+                                    step=jnp.zeros((), jnp.int32))
+
+        def _encode(frozen, batch, rng):
+            mu, logvar = self.flow_encoder.apply(
+                {"params": frozen["flow_enc"].params}, batch["flow"],
+                method=BigAE.encode)
+            return mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mu.shape)
+
+        self._encode = _encode
+
+        def _step(state, frozen, batch, rng):
+            r1, r2 = jax.random.split(rng)
+            z_in = jax.lax.stop_gradient(_encode(frozen, batch, r1))
+
+            def loss_fn(p):
+                z, logdet = self.inn.forward(p["inn"], z_in)
+                return flow_loss(z, logdet, rng=r2)
+
+            (loss, log), grads = jax.value_and_grad(
+                loss_fn, has_aux=True, allow_int=True)(state.params)
+            grads = zero_buffer_grads(grads, state.params)
+            upd, opt = self.tx.update(grads, state.opt, state.params)
+            return state.replace(
+                params=optax.apply_updates(state.params, upd), opt=opt,
+                step=state.step + 1), log
+
+        self._step = jax.jit(_step)
+
+    def train_step(self, batch, epoch):
+        return self._step(self.state, self.frozen, batch, self.next_rng())
+
+    def export_weights(self, state):
+        return {"params": state.params}
+
+    def validate(self, epoch):
+        from ..flows import flow_loss
+
+        fn = jax.jit(lambda p, f, b, r: flow_loss(
+            *self.inn.forward(p["inn"], self._encode(f, b, r))))
+        losses = []
+        for batch in self.datamodule.val_loader(
+                epoch=epoch, n_batches=self.max_val_batches):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, _ = fn(self.state.params, self.frozen, batch,
+                         self.next_rng())
+            losses.append(float(loss))
+        return {"flow_loss-val": float(np.mean(losses))}
+
+
 class FlowMotionExperiment(Experiment):
     """Conv third stage (reference ``opticalFlowINN.py`` / ``flow_motion.py``):
     train the bridge INN against the frozen conv second stage + flow VAE.

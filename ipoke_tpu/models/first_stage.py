@@ -313,6 +313,10 @@ def build_first_stage(config) -> Tuple[Any, Any, Any]:
     (reference experiments/first_stage_video.py:16-23)."""
     arch = config["architecture"]
     dcfg = config["data"]
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if config["training"].get("mixed_prec", False) \
+        else None
     if arch.get("baseline", False):
         from .fc_baseline import FCBaselineModel
 
@@ -326,6 +330,7 @@ def build_first_stage(config) -> Tuple[Any, Any, Any]:
             full_seq=config["training"].get("full_sequence", True),
             use_spade=arch.get("CN_content", "spade") == "spade",
             deterministic=arch.get("deterministic", False),
+            dtype=dtype,
         )
     else:
         model = FirstStageModel(
@@ -341,13 +346,16 @@ def build_first_stage(config) -> Tuple[Any, Any, Any]:
             norm=arch.get("norm", "group"),
             spectral_norm=arch.get("spectral_norm", True),
             deterministic=arch.get("deterministic", False),
+            dtype=dtype,
         )
     disc_s = PatchDiscriminator2D(
         ndf=config["d_s"].get("ndf", 64),
         n_layers=config["d_s"].get("n_layers", 3),
+        dtype=dtype,
     )
     disc_t = ResNet3DDiscriminator(
         layers=tuple(config["d_t"].get("layers", (1, 1, 1, 1))),
         patch_temp_disc=config["d_t"].get("patch_temp_disc", False),
+        dtype=dtype,
     )
     return model, disc_s, disc_t
