@@ -29,6 +29,9 @@ def _rate(fn, args, iters, warmup=1):
 
 def main():
     import __graft_entry__ as ge
+    from ipoke_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
 
     B, T = 8, 10
     model, params, frozen, batch = ge._build(

@@ -399,8 +399,10 @@ class SecondStageExperiment(Experiment):
         from ..models.image_ae import build_image_ae
         from ..nn.encoders import FirstStageWrapper
 
+        from ..models.pretrained_registry import resolve
+
         def load_one(section, builder, init_fn):
-            sec = self.config[section]
+            sec = resolve(section, dict(self.config[section]))
             sub_cfg = load_config(sec["config"]) if isinstance(
                 sec.get("config"), str) else Config(sec["config"])
             model = builder(sub_cfg)

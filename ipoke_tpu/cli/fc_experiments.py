@@ -145,8 +145,10 @@ class SecondStageFCExperiment(Experiment):
         s = self.config["data"]["spatial_size"][0]
         T = self.config["data"]["max_frames"]
 
+        from ..models.pretrained_registry import resolve
+
         def load(section, model, init_x):
-            sec = self.config[section]
+            sec = resolve(section, dict(self.config[section]))
             sub_cfg = load_config(sec["config"]) if isinstance(
                 sec.get("config"), str) else Config(sec.get("config", {}))
             v = (model.init({"params": K(0)}, init_x, rng=K(1), train=False)

@@ -29,17 +29,19 @@ def gan_adam(lr, weight_decay: float = 1e-5, b1: float = 0.5, b2: float = 0.9):
 
 
 def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
-              clip_grad_norm: float = 0.0):
-    """Adam for flow params; masks out ``buf_*`` buffer leaves entirely
-    (no grads, no decay, no update)."""
+              clip_grad_norm: float = 0.0, use_adabelief: bool = False):
+    """Adam (or AdaBelief, reference ``training.use_adabelief`` — the
+    reference vendors AdaBelief in coupling_flow_alternative.py:12-198) for
+    flow params; masks out ``buf_*`` buffer leaves entirely."""
     chain = []
     if clip_grad_norm and clip_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(clip_grad_norm))
-    chain += [
-        optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(b1=0.9, b2=0.999),
-        optax.scale_by_learning_rate(lr_schedule),
-    ]
+    chain.append(optax.add_decayed_weights(weight_decay))
+    if use_adabelief:
+        chain.append(optax.scale_by_belief())
+    else:
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
+    chain.append(optax.scale_by_learning_rate(lr_schedule))
     tx = optax.chain(*chain)
     if params is None:
         return tx

@@ -30,8 +30,31 @@ from .poke import FlowError, resize_flow, scale_flow_to_res, simulate_poke
 
 DATAKEYS = (
     "images", "poke", "flow", "original_flow", "sample_ids", "app_img_random",
+    "img_aT", "img_sT", "app_img_dis", "app_img_cmp",
     "keypoints_abs", "keypoints_rel", "keypoint_poke", "nn",
 )
+
+
+def compute_flow_mask(flow: np.ndarray, quantile: float = 0.75) -> np.ndarray:
+    """Foreground mask from flow magnitude (reference
+    ``_compute_mask_with_flow``, base_dataset.py:341-349)."""
+    mag = np.linalg.norm(flow, axis=-1)
+    thresh = np.quantile(mag, quantile)
+    return mag > max(thresh, 1e-6)
+
+
+def compute_grabcut_mask(img_u8: np.ndarray, iters: int = 3) -> np.ndarray:
+    """grabCut foreground mask over the center region (reference
+    ``_compute_mask``, base_dataset.py:325-339); offline/eval use."""
+    import cv2
+
+    h, w = img_u8.shape[:2]
+    mask = np.zeros((h, w), np.uint8)
+    rect = (w // 8, h // 8, w * 3 // 4, h * 3 // 4)
+    bgd = np.zeros((1, 65), np.float64)
+    fgd = np.zeros((1, 65), np.float64)
+    cv2.grabCut(img_u8, mask, rect, bgd, fgd, iters, cv2.GC_INIT_WITH_RECT)
+    return (mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)
 
 
 class VideoDataset:
@@ -58,6 +81,7 @@ class VideoDataset:
         )
         self.equal_poke_val = bool(config.get("equal_poke_val", True))
         self.scale_poke_to_res = bool(config.get("scale_poke_to_res", False))
+        self.filter_flow = bool(config.get("filter_flow", False))
         self.augment = bool(config.get("augment", False)) and train
         self.normalize_01 = bool(config.get("01_normalize", False))
         self.max_trials_flow_load = 50
@@ -191,10 +215,12 @@ class VideoDataset:
 
     def _get_poke(self, ids, rng, **kw):
         flow = self._load_flow((ids[0], 0))
+        mask = compute_flow_mask(flow) if self.filter_flow else None
         poke, centers = simulate_poke(
             flow, rng, self.n_pokes, self.poke_size,
             zero_poke=(ids[1] == -1), fix_n_pokes=self.fix_n_pokes,
             equal_poke_val=self.equal_poke_val,
+            foreground_mask=mask,
         )
         return poke, centers
 
@@ -206,6 +232,23 @@ class VideoDataset:
         idx = int(rng.choice(cand))
         img = self._load_img(self.datadict["img_path"][idx]).astype(np.float32)
         img = img / 255.0
+        return img if self.normalize_01 else img * 2.0 - 1.0
+
+    def _get_sampled_img(self, ids, rng, color: bool = False):
+        """A random frame of the same video under fresh geometric (and
+        optionally color) transforms — the appearance-disentanglement inputs
+        (reference datakeys img_sT / app_img_dis, base_dataset.py:114-117)."""
+        vids = self.datadict["vid"]
+        cand = np.flatnonzero(vids == vids[ids[0]])
+        idx = int(rng.choice(cand))
+        img = self._load_img(self.datadict["img_path"][idx])
+        if color and self.color_aug:
+            ct = self.color_aug.sample(rng)
+            img = ct(img)
+        if self.geom_aug:
+            gt = self.geom_aug.sample(rng)
+            img = gt(img)
+        img = img.astype(np.float32) / 255.0
         return img if self.normalize_01 else img * 2.0 - 1.0
 
     def _get_keypoints(self, ids, rng, abs=True, **kw):
@@ -241,8 +284,18 @@ class VideoDataset:
                                         for i in range(1, self.max_frames + 1)],
                             np.int64,
                         )
-                    elif key == "app_img_random":
+                    elif key in ("app_img_random", "app_img_cmp"):
                         out[key] = self._get_transfer_img(ids, rng)
+                    elif key == "img_aT":
+                        # fresh color transform on this clip's frames
+                        # (reference base_dataset.py:113 — appearance aug)
+                        ct = (self.color_aug.sample(rng)
+                              if self.color_aug else None)
+                        out[key] = self._get_imgs(ids, rng, ct, None)
+                    elif key in ("img_sT", "app_img_dis"):
+                        # random same-video frame under fresh transforms
+                        out[key] = self._get_sampled_img(
+                            ids, rng, color=(key == "app_img_dis"))
                     elif key == "keypoints_abs":
                         out[key] = self._get_keypoints(ids, rng, abs=True)
                     elif key == "keypoints_rel":

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def nll(sample, spatial_mean: bool = False, radial: bool = False):
@@ -65,4 +66,45 @@ def flow_loss(
         log["reference_nll_loss"] = jnp.mean(
             nll(ref, spatial_mean=spatial_mean, radial=radial)
         )
+    return loss, log
+
+
+def flow_loss_alternative(sample, logdet):
+    """Channel-sum NLL variant (reference ``FlowLossAlternative``,
+    loss.py:44-64)."""
+    flat = sample.reshape(sample.shape[0], -1)
+    nll_loss = jnp.mean(jnp.sum(0.5 * flat**2, axis=1))
+    nlogdet = -jnp.mean(logdet)
+    loss = nll_loss + nlogdet
+    return loss, {"flow_loss": loss, "nll_loss": nll_loss,
+                  "nlogdet_loss": nlogdet}
+
+
+def gaussian_logp(z, logdet):
+    """Exact Gaussian log-likelihood incl. the 2*pi constant (reference
+    ``GaussianLogP``, loss.py:100-118); returns (bits-per-dim loss, log)."""
+    dim = int(np.prod(z.shape[1:]))
+    log_p = -0.5 * jnp.sum(z.reshape(z.shape[0], -1) ** 2, axis=1) \
+        - 0.5 * dim * jnp.log(2 * jnp.pi)
+    ll = jnp.mean(log_p + logdet)
+    loss = -ll / (dim * jnp.log(2.0))  # bits per dim
+    return loss, {"flow_loss": loss, "log_likelihood": ll}
+
+
+def nll_with_typicality(sample, logdet, step, fade_steps: int = 10000,
+                        typicality_weight: float = 1.0):
+    """NLL + an entropy-matching (typicality) regularizer with linear fade-in
+    (reference ``NLLWithTypicality``, loss.py:120-178): penalize the gap
+    between the batch's average energy and the Gaussian entropy rate."""
+    dim = int(np.prod(sample.shape[1:]))
+    energy = jnp.mean(
+        0.5 * jnp.sum(sample.reshape(sample.shape[0], -1) ** 2, axis=1))
+    entropy_rate = 0.5 * dim  # E[0.5 ||z||^2] under N(0, I)
+    typicality = (energy - entropy_rate) ** 2 / dim
+    base, log = flow_loss(sample, logdet)
+    w = typicality_weight * jnp.clip(step / fade_steps, 0.0, 1.0)
+    loss = base + w * typicality
+    log = dict(log)
+    log.update({"typicality": typicality, "typicality_w": w,
+                "flow_loss": loss})
     return loss, log

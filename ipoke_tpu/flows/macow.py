@@ -421,10 +421,17 @@ class MultiScalePrior(Flow):
 class ScannedSteps(Flow):
     """N structurally-identical steps executed as one ``lax.scan`` over
     stacked params — the TPU-native replacement for the reference's
-    ``nn.ModuleList`` of 1-15 MaCowSteps per level."""
+    ``nn.ModuleList`` of 1-15 MaCowSteps per level.
+
+    ``remat`` wraps the scanned step in ``jax.checkpoint`` so training stores
+    only per-step boundaries instead of every coupling activation — at the
+    shipped scale (~1B params, 2048-wide hidden convs) this is what keeps the
+    backward pass inside HBM (SURVEY.md §7 / scaling-book remat recipe).
+    """
 
     step: Flow
     n: int
+    remat: bool = True
 
     def init(self, rng, x_shape=None):
         keys = jax.random.split(rng, self.n)
@@ -432,9 +439,13 @@ class ScannedSteps(Flow):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
 
     def forward(self, params, x, h=None):
+        fwd = self.step.forward
+        if self.remat:
+            fwd = jax.checkpoint(fwd)
+
         def body(carry, p):
             x, ld = carry
-            y, l = self.step.forward(p, x, h)
+            y, l = fwd(p, x, h)
             return (y, ld + l), None
 
         (y, ld), _ = jax.lax.scan(

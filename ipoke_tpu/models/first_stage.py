@@ -83,7 +83,8 @@ class FirstStageModel(nn.Module):
             snorm=self.spectral_norm, dtype=self.dtype,
         )
 
-    def __call__(self, X, rng=None, train: bool = False):
+    def __call__(self, X, rng=None, train: bool = False, poke=None):
+        del poke  # poke-conditioned only in the PokeVAE baseline
         X_in = X if self.full_seq else X[:, 1:]
         motion, mu, logvar = self.enc_motion(X_in, rng=rng)
         X_hat = self.decode(motion, X[:, 0], X.shape[1] - 1, train=train)
@@ -135,7 +136,9 @@ def create_first_stage_state(
     s = dcfg["spatial_size"][0]
     kg, kd1, kd2, kr = jax.random.split(rng, 4)
     X = jnp.zeros((1, T + 1, s, s, 3))
-    vg = model.init({"params": kg}, X, rng=kr, train=False)
+    kw = {"poke": jnp.zeros((1, s, s, 2))} if getattr(
+        model, "needs_poke", False) else {}
+    vg = model.init({"params": kg}, X, rng=kr, train=False, **kw)
     mf_dt = min(config["d_t"].get("max_frames", 8), T + 1)
     vdt = disc_t.init({"params": kd1}, jnp.zeros((1, mf_dt, s, s, 3)), train=False)
     vds = disc_s.init({"params": kd2}, jnp.zeros((1, s, s, 3)), train=False)
@@ -168,21 +171,25 @@ def make_first_stage_train_step(
     gen_w = config["d_t"].get("gen_weight", 1.0)
     fmap_w = config["d_t"].get("fmap_weight", 1.0)
 
-    def gen_forward(params_g, stats_g, X, rng, train=True):
+    needs_poke = getattr(model, "needs_poke", False)
+
+    def gen_forward(params_g, stats_g, X, rng, poke=None, train=True):
+        kw = {"poke": poke} if needs_poke else {}
         (X_hat, mu, logvar), new_vars = model.apply(
             {"params": params_g, "batch_stats": stats_g}, X, rng=rng,
-            train=train, mutable=["batch_stats"] if train else [],
+            train=train, mutable=["batch_stats"] if train else [], **kw,
         )
         return X_hat, mu, logvar, (new_vars.get("batch_stats", stats_g))
 
-    def step(state: GANTrainState, batch, rng, disc_gate):
+    def step(state: GANTrainState, batch, rng, disc_gate, kl_gate=1.0):
         X = batch["images"]
         B, Tp1 = X.shape[0], X.shape[1]
         r_enc, r_off, r_true, r_fake, r_g = jax.random.split(rng, 5)
 
+        poke = batch.get("poke") if needs_poke else None
         # ---- generator forward (once, current params) ----
         X_hat, mu, logvar, stats_g = gen_forward(
-            state.params_g, state.stats_g, X, r_enc
+            state.params_g, state.stats_g, X, r_enc, poke
         )
         X_fake_full = jnp.concatenate([X[:, :1], X_hat], axis=1)
 
@@ -248,7 +255,7 @@ def make_first_stage_train_step(
         # ---- generator update (updated discs, frozen) ----
         def g_loss_fn(params_g):
             X_hat, mu, logvar, new_stats = gen_forward(
-                params_g, state.stats_g, X, r_enc
+                params_g, state.stats_g, X, r_enc, poke
             )
             X_fake_full = jnp.concatenate([X[:, :1], X_hat], axis=1)
             X_fake_w = window(X_fake_full)
@@ -278,7 +285,7 @@ def make_first_stage_train_step(
             l_kl = 0.0 if model.deterministic else kl_loss(mu, logvar)
             loss = (
                 disc_gate * (l_gen_s + gen_w * l_gen_t + fmap_w * l_fmap)
-                + w_vgg * l_vgg + w_kl * l_kl + w_l1 * l_l1
+                + w_vgg * l_vgg + kl_gate * w_kl * l_kl + w_l1 * l_l1
             )
             aux = {
                 "loss_g_s": l_gen_s, "loss_g_t": l_gen_t, "loss_fmap_t": l_fmap,
@@ -317,7 +324,7 @@ def build_first_stage(config) -> Tuple[Any, Any, Any]:
 
     dtype = jnp.bfloat16 if config["training"].get("mixed_prec", False) \
         else None
-    if arch.get("baseline", False):
+    if arch.get("fc_baseline", False):
         from .fc_baseline import FCBaselineModel
 
         model = FCBaselineModel(
@@ -330,6 +337,23 @@ def build_first_stage(config) -> Tuple[Any, Any, Any]:
             full_seq=config["training"].get("full_sequence", True),
             use_spade=arch.get("CN_content", "spade") == "spade",
             deterministic=arch.get("deterministic", False),
+            dtype=dtype,
+        )
+    elif arch.get("baseline", False):
+        from .poke_vae import PokeVAEModel
+
+        model = PokeVAEModel(
+            spatial_size=dcfg["spatial_size"][0],
+            z_dim=arch["z_dim"],
+            enc_channels=tuple(arch["ENC_M_channels"]),
+            dec_channels=tuple(arch["dec_channels"]),
+            n_gru_layers=arch.get("n_gru_layers", 4),
+            min_spatial_size=arch.get("min_spatial_size", 8),
+            max_frames=dcfg["max_frames"],
+            full_seq=config["training"].get("full_sequence", True),
+            stack_motion_and_poke=arch.get("stack_motion_and_poke", False),
+            norm=arch.get("norm", "group"),
+            spectral_norm=arch.get("spectral_norm", True),
             dtype=dtype,
         )
     else:

@@ -61,6 +61,10 @@ def main(argv=None):
     args = parse_args(argv)
     config, dirs, data_root = load_parameters(args)
 
+    from ipoke_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from ipoke_tpu.cli.experiments import select_experiment
 
     cls = select_experiment(config)

@@ -26,7 +26,7 @@ K = jax.random.PRNGKey
 FC_CFG = Config({
     "data": {"spatial_size": (32, 32), "max_frames": 3, "batch_size": 2},
     "architecture": {
-        "baseline": True, "z_dim": 16, "ENC_M_channels": [16, 16, 32, 32],
+        "fc_baseline": True, "z_dim": 16, "ENC_M_channels": [16, 16, 32, 32],
         "dec_channels": [32, 32, 16, 16], "n_gru_layers": 2,
         "CN_content": "spade",
     },
