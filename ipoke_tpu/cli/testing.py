@@ -50,7 +50,7 @@ def _collect(experiment, n_batches: int, fn):
 
 
 def test_samples(experiment) -> Dict[str, float]:
-    from ..utils.video import save_video_grid
+    from ..utils.video import make_flow_video_grid, save_enrollment
 
     _restore_trained(experiment)
     tcfg = experiment.config.get("testing", {})
@@ -66,13 +66,23 @@ def test_samples(experiment) -> Dict[str, float]:
             vid = sample(experiment.state.params, experiment.frozen, batch,
                          experiment.next_rng())
             vids.append(np.asarray(vid))
-        return np.asarray(batch["images"]), np.stack(vids, axis=1)
+        return (np.asarray(batch["images"]), np.stack(vids, axis=1),
+                np.asarray(batch.get("poke")), np.asarray(batch.get("flow")))
 
-    for bi, (real, samples) in enumerate(_collect(experiment, n_batches, gen)):
+    bi = 0
+    for bi, (real, samples, poke, flow) in enumerate(
+            _collect(experiment, n_batches, gen)):
         np.save(os.path.join(d, f"samples_batch{bi}.npy"), samples)
         np.save(os.path.join(d, f"real_batch{bi}.npy"), real)
-        grid = np.concatenate([real[:, 1:][:, None], samples], axis=1)
-        save_video_grid(grid, os.path.join(d, f"grid_batch{bi}.mp4"), fps=3)
+        # poke-annotated animated grid + per-sample enrollment strips
+        # (reference _generate_samples, second_stage_video.py:906-957)
+        make_flow_video_grid(
+            real[:, 0], poke, list(samples.swapaxes(0, 1)), real[:, 1:],
+            flow, os.path.join(d, f"grid_batch{bi}.mp4"), fps=3)
+        for i in range(min(4, samples.shape[0])):
+            save_enrollment(
+                samples[i, 0],
+                os.path.join(d, f"enrollment_b{bi}_s{i}.png"))
     return {"n_batches": float(bi + 1)}
 
 
@@ -255,6 +265,12 @@ def test_transfer(experiment) -> Dict[str, float]:
                               batches[0], batches[1],
                               experiment.next_rng()))
     np.save(os.path.join(d, "transfer_batch0.npy"), vid)
+    from ..utils.video import make_transfer_grid
+
+    make_transfer_grid(
+        np.asarray(batches[0]["images"][:, 1:]),
+        np.asarray(batches[1]["images"][:, 0]), vid,
+        os.path.join(d, "transfer_grid.mp4"))
     return {"n_transferred": float(vid.shape[0])}
 
 

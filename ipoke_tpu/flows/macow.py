@@ -30,6 +30,7 @@ from .primitives import (
     ActNorm,
     InvConvLU,
     Shuffle,
+    SpaceToDepth,
     get_transform,
     plain_conv_apply,
     shifted_conv_apply,
@@ -591,3 +592,107 @@ class MultiScaleInternal(Flow):
             out = out[..., :z1c]
         splits.append(out)
         return jnp.concatenate(splits[::-1], axis=-1), ld, new_params
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiscaleStack(Flow):
+    """Stack of MultiScaleInternal blocks with an optional invertible
+    space<->depth reshape at the midpoint and per-block conditioning
+    transforms (reference ``MultiscaleStack``, macow2.py:652-729; selected by
+    ``architecture.multistack``).
+
+    levels: per-block num_steps lists; factors: per-block factor.  With
+    reshape='down', blocks after the midpoint see (H/2, W/2, 4C); the
+    conditioning is strided-conv downsampled to match (the reference uses a
+    learned Conv2dBlock — here a strided conv in the params tree).
+    """
+
+    levels: Tuple[Tuple[int, ...], ...]
+    factors: Tuple[int, ...]
+    in_channels: int
+    mid_channels_factor: int = 8
+    h_channels: int = 0
+    reshape: str = "none"  # none | down | up
+    transform: str = "affine"
+    prior_transform: str = "affine"
+    kernel_size: Tuple[int, int] = (2, 3)
+    activation: str = "elu"
+    use_1x1: bool = False
+    condition_nice: bool = False
+
+    def __post_init__(self):
+        assert len(self.levels) == len(self.factors)
+        assert self.reshape in ("none", "down", "up")
+
+    @property
+    def _reshape_step(self):
+        return len(self.levels) // 2 if self.reshape != "none" else None
+
+    def _blocks(self):
+        blocks = []
+        c = self.in_channels
+        for i, (steps, f) in enumerate(zip(self.levels, self.factors)):
+            if self._reshape_step is not None and i == self._reshape_step:
+                c = c * 4 if self.reshape == "down" else c // 4
+            blocks.append(MultiScaleInternal(
+                num_steps=tuple(steps), in_channels=c,
+                hidden_channels=self.mid_channels_factor * c,
+                h_channels=self.h_channels, factor=f,
+                transform=self.transform,
+                prior_transform=self.prior_transform,
+                kernel_size=self.kernel_size, activation=self.activation,
+                use_1x1=self.use_1x1, condition_nice=self.condition_nice,
+            ))
+        return blocks
+
+    @property
+    def _reshaper(self):
+        return SpaceToDepth(inverse_direction=(self.reshape == "up"))
+
+    def init(self, rng, x_shape=None):
+        params = {"blocks": []}
+        for b in self._blocks():
+            rng, k = jax.random.split(rng)
+            params["blocks"].append(b.init(k, x_shape))
+        if self.h_channels and self._reshape_step is not None:
+            # per-post-reshape-block cond resampling convs
+            n = len(self.levels) - self._reshape_step
+            params["h_transforms"] = []
+            for _ in range(n):
+                rng, k = jax.random.split(rng)
+                params["h_transforms"].append(
+                    _conv_init(k, 3, 3, self.h_channels, self.h_channels))
+        return params
+
+    def _cond_for(self, params, i, h):
+        if h is None or self._reshape_step is None or i < self._reshape_step:
+            return h
+        w = params["h_transforms"][i - self._reshape_step]
+        stride = (2, 2) if self.reshape == "down" else (1, 1)
+        hc = jax.lax.conv_general_dilated(
+            h, w, stride, "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.reshape == "up":
+            hc = jax.image.resize(
+                hc, (hc.shape[0], hc.shape[1] * 2, hc.shape[2] * 2,
+                     hc.shape[3]), "nearest")
+        return hc
+
+    def forward(self, params, x, h=None):
+        ld = jnp.zeros(x.shape[0], jnp.float32)
+        out = x
+        for i, (b, p) in enumerate(zip(self._blocks(), params["blocks"])):
+            if self._reshape_step is not None and i == self._reshape_step:
+                out, _ = self._reshaper.forward({}, out)
+            out, l = b.forward(p, out, self._cond_for(params, i, h))
+            ld = ld + l
+        return out, ld
+
+    def inverse(self, params, y, h=None):
+        blocks = self._blocks()
+        out = y
+        for i in reversed(range(len(blocks))):
+            out = blocks[i].inverse(params["blocks"][i], out,
+                                    self._cond_for(params, i, h))
+            if self._reshape_step is not None and i == self._reshape_step:
+                out = self._reshaper.inverse({}, out)
+        return out

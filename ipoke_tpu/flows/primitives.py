@@ -282,3 +282,37 @@ def plain_conv_apply(w, x, padding="VALID"):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
+
+
+# ---------------------------------------------------------------------------
+# Invertible space<->depth reshape (reference flow_blocks.py:665-702
+# Reshape/Inverse)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SpaceToDepth(Flow):
+    """(B, H, W, C) <-> (B, H/2, W/2, 4C); volume-preserving, logdet 0."""
+
+    inverse_direction: bool = False  # True = depth-to-space forward
+
+    def init(self, rng, x_shape=None):
+        return {}
+
+    @staticmethod
+    def _down(x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+    @staticmethod
+    def _up(x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h, w, 2, 2, c // 4)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2, c // 4)
+
+    def forward(self, params, x, h=None):
+        y = self._up(x) if self.inverse_direction else self._down(x)
+        return y, jnp.zeros(x.shape[0], x.dtype)
+
+    def inverse(self, params, y, h=None):
+        return self._down(y) if self.inverse_direction else self._up(y)

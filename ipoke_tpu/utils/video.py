@@ -65,3 +65,66 @@ def save_video_grid(videos: np.ndarray, path: str, fps: int = 3):
         frame = videos[:, :, ti].reshape(b * s, h, w, c)
         frames.append(make_grid(frame, n_per_row=s))
     save_video(np.stack(frames), path, fps=fps)
+
+
+def draw_poke_arrows(img: np.ndarray, poke: np.ndarray,
+                     color=(255, 0, 0)) -> np.ndarray:
+    """Overlay arrows at poke locations pointing along the poke vectors
+    (reference ``make_poke_img``, utils/logging.py:121)."""
+    import cv2
+
+    out = img.copy() if img.dtype == np.uint8 else to_uint8(img)
+    mag = np.linalg.norm(poke, axis=-1)
+    ys, xs = np.nonzero(mag > 0)
+    seen = set()
+    for y, x in zip(ys, xs):
+        key = (y // 5, x // 5)  # one arrow per poke window
+        if key in seen:
+            continue
+        seen.add(key)
+        dx, dy = poke[y, x]
+        tip = (int(np.clip(x + dx, 0, out.shape[1] - 1)),
+               int(np.clip(y + dy, 0, out.shape[0] - 1)))
+        cv2.arrowedLine(out, (int(x), int(y)), tip, color, 1, tipLength=0.3)
+    return out
+
+
+def make_flow_video_grid(x0, poke, samples, target, flow, path: str,
+                         fps: int = 3):
+    """Training-progress grid (reference ``make_flow_video_with_samples``,
+    utils/logging.py:468): columns = [x0+poke arrows | flow vis | target |
+    samples...], rows = batch items; animated over time."""
+    b, t = target.shape[0], target.shape[1]
+    x0_u8 = np.stack([draw_poke_arrows(x0[i], poke[i]) for i in range(b)])
+    flow_u8 = np.stack([flow_to_rgb(flow[i]) for i in range(b)])
+    cols = [np.repeat(x0_u8[:, None], t, 1), np.repeat(flow_u8[:, None], t, 1),
+            to_uint8(target)]
+    for s in samples:
+        cols.append(to_uint8(np.asarray(s)))
+    grid = np.stack(cols, axis=1)  # (B, n_cols, T, H, W, 3)
+    save_video_grid(grid, path, fps=fps)
+    return path
+
+
+def save_enrollment(video: np.ndarray, path: str, max_frames: int = 10):
+    """Horizontal strip of a video's frames (reference enrollment PNGs,
+    utils/logging.py:758-823)."""
+    import cv2
+
+    v = to_uint8(video[:max_frames]) if video.dtype != np.uint8 \
+        else video[:max_frames]
+    strip = np.concatenate(list(v), axis=1)
+    cv2.imwrite(path, strip[..., ::-1])
+    return path
+
+
+def make_transfer_grid(src_videos, tgt_x0, transferred, path: str,
+                       fps: int = 3):
+    """Kinematics-transfer grid (reference ``make_transfer_grids_new``,
+    utils/logging.py:628): [source video | target x0 (static) | transfer]."""
+    b, t = transferred.shape[0], transferred.shape[1]
+    cols = [to_uint8(np.asarray(src_videos)),
+            np.repeat(to_uint8(tgt_x0)[:, None], t, 1),
+            to_uint8(np.asarray(transferred))]
+    save_video_grid(np.stack(cols, axis=1), path, fps=fps)
+    return path

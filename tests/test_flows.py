@@ -224,3 +224,37 @@ def test_trainable_mask_excludes_buffers():
             if hasattr(k, "key")
         )
         assert m == (not is_buf)
+
+
+def test_multiscale_stack_with_reshape():
+    from ipoke_tpu.flows import MultiscaleStack
+
+    flow = MultiscaleStack(
+        levels=((1,), (1,)), factors=(4, 4), in_channels=8,
+        mid_channels_factor=2, h_channels=HC, reshape="down",
+    )
+    x, h = _data(11, h_channels=HC)
+    params = flow.init(jax.random.PRNGKey(60), x.shape)
+    y, ld = flow.forward(params, x, h)
+    assert y.shape == (B, H // 2, W // 2, 4 * C)  # space-to-depth midway
+    x_rec = flow.inverse(params, y, h)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-3
+
+
+def test_space_to_depth_roundtrip():
+    from ipoke_tpu.flows import SpaceToDepth
+
+    flow = SpaceToDepth()
+    x, _ = _data(12)
+    y, ld = flow.forward({}, x)
+    assert y.shape == (B, H // 2, W // 2, 4 * C)
+    np.testing.assert_allclose(np.asarray(flow.inverse({}, y)),
+                               np.asarray(x))
+
+
+def test_build_multistack_from_config():
+    arch = {"flow_in_channels": C, "flow_mid_channels_factor": 2,
+            "h_channels": HC, "multistack": True, "reshape": "none",
+            "levels": [[1], [1]], "factors": [4, 4]}
+    flow = build_macow_transformer(arch)
+    check_flow(flow, key=13, h_channels=HC, check_logdet=False)

@@ -100,3 +100,33 @@ def test_spectral_norm_state_updates():
     assert any(
         float(jnp.max(jnp.abs(a - b))) > 0 for a, b in zip(leaves_old, leaves_new)
     )
+
+
+def test_video_vis_utils(tmp_path):
+    import os
+
+    from ipoke_tpu.utils.video import (
+        draw_poke_arrows,
+        make_flow_video_grid,
+        make_transfer_grid,
+        save_enrollment,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, s = 2, 3, 32
+    x0 = rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32)
+    poke = np.zeros((b, s, s, 2), np.float32)
+    poke[:, 10:13, 10:13] = 3.0
+    target = rng.uniform(-1, 1, (b, t, s, s, 3)).astype(np.float32)
+    flow = rng.normal(0, 2, (b, s, s, 2)).astype(np.float32)
+    samples = [target + 0.1]
+
+    arrowed = draw_poke_arrows(x0[0], poke[0])
+    assert arrowed.shape == (s, s, 3) and arrowed.dtype == np.uint8
+
+    p1 = make_flow_video_grid(x0, poke, samples, target, flow,
+                              str(tmp_path / "grid.mp4"))
+    p2 = save_enrollment(target[0], str(tmp_path / "enroll.png"))
+    p3 = make_transfer_grid(target, x0, target, str(tmp_path / "tr.mp4"))
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 0
