@@ -18,7 +18,7 @@ t0 = time.time()
 params = init_on_cpu(lambda: flow.init(K(0), (1, 8, 8, 32)))
 print(f"init-on-cpu+transfer: {time.time()-t0:.1f}s params={count_params(params)/1e6:.0f}M", flush=True)
 
-tx = flow_adam(1e-3, params=params)
+tx = flow_adam(1e-3, params=params, use_adafactor=True)
 t0 = time.time()
 opt = init_on_cpu(lambda: tx.init(params))  # adam states also big
 print(f"opt init: {time.time()-t0:.1f}s", flush=True)
@@ -26,7 +26,8 @@ print(f"opt init: {time.time()-t0:.1f}s", flush=True)
 x = jax.random.normal(K(1), (B, 8, 8, 32))
 h = jax.random.normal(K(2), (B, 8, 8, 128))
 
-@jax.jit
+from functools import partial
+@partial(jax.jit, donate_argnums=(0, 1))
 def train_step(params, opt, x, h, rng):
     def loss_fn(p):
         z, ld = flow.forward(p, x, h)

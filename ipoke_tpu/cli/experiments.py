@@ -463,8 +463,11 @@ class SecondStageExperiment(Experiment):
         state = create_second_stage_state(self.next_rng(), self.model,
                                           flow_adam(sched))
         self._ddi_done = False
-        self.tx = flow_adam(sched, params=state.params,
-                            clip_grad_norm=float(tcfg.get("clip_grad_norm", 0)))
+        self.tx = flow_adam(
+            sched, params=state.params,
+            clip_grad_norm=float(tcfg.get("clip_grad_norm", 0)),
+            use_adabelief=bool(tcfg.get("use_adabelief", False)),
+            use_adafactor=bool(tcfg.get("use_adafactor", False)))
         state = state.replace(opt=self.tx.init(state.params))
         self.state = state
         self._step = jax.jit(make_second_stage_train_step(self.model, self.tx))

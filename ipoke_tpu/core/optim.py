@@ -29,15 +29,21 @@ def gan_adam(lr, weight_decay: float = 1e-5, b1: float = 0.5, b2: float = 0.9):
 
 
 def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
-              clip_grad_norm: float = 0.0, use_adabelief: bool = False):
-    """Adam (or AdaBelief, reference ``training.use_adabelief`` — the
-    reference vendors AdaBelief in coupling_flow_alternative.py:12-198) for
-    flow params; masks out ``buf_*`` buffer leaves entirely."""
+              clip_grad_norm: float = 0.0, use_adabelief: bool = False,
+              use_adafactor: bool = False):
+    """Adam / AdaBelief (reference ``training.use_adabelief``) / Adafactor
+    for flow params; masks out ``buf_*`` buffer leaves entirely.
+
+    ``use_adafactor`` swaps in factored second moments — at the shipped
+    1054M-param cINN scale, Adam's fp32 m/v states (8.4 GB) plus grads do not
+    fit one v5e's 16 GB HBM; Adafactor's ~O(sqrt) state does."""
     chain = []
     if clip_grad_norm and clip_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(clip_grad_norm))
     chain.append(optax.add_decayed_weights(weight_decay))
-    if use_adabelief:
+    if use_adafactor:
+        chain.append(optax.scale_by_factored_rms())
+    elif use_adabelief:
         chain.append(optax.scale_by_belief())
     else:
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
