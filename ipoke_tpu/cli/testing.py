@@ -27,6 +27,12 @@ def _out_dir(experiment, mode: str) -> str:
 
 def _restore_trained(experiment):
     experiment.build()
+    assert hasattr(experiment, "frozen") and hasattr(
+        experiment.model, "forward_sample"), (
+        f"--test modes drive the sampling pipeline; experiment "
+        f"{type(experiment).__name__} has no frozen-submodel sampler "
+        f"(run them on second_stage/second_stage_fc runs)"
+    )
     name = "last" if experiment.config.get_path("general.last_ckpt") else None
     if name:
         experiment.state = experiment.store.restore(experiment.state, name)
@@ -131,6 +137,7 @@ def test_accuracy(experiment) -> Dict[str, float]:
     n_batches = 2 if experiment.debug else 10
     sample = _sample_fn(experiment)
     best_ssim, best_lpips, best_psnr = [], [], []
+    pf_ssim, pf_psnr, pf_lpips = [], [], []
     for batch in experiment.datamodule.test_loader(n_batches=n_batches):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         tgt = batch["images"][:, 1:]
@@ -145,9 +152,12 @@ def test_accuracy(experiment) -> Dict[str, float]:
                 np.asarray(ssim(a, b)).reshape(B, T).mean(-1))
             per_sample["psnr"].append(
                 np.asarray(psnr(a, b)).reshape(B, T).mean(-1))
-            per_sample["lpips"].append(
-                np.asarray(perceptual_distance(vgg, a, b)).reshape(B, T)
-                .mean(-1))
+            pf = np.asarray(perceptual_distance(vgg, a, b)).reshape(B, T)
+            per_sample["lpips"].append(pf.mean(-1))
+            if s == 0:
+                pf_lpips.extend(pf)
+                pf_ssim.extend(np.asarray(ssim(a, b)).reshape(B, T))
+                pf_psnr.extend(np.asarray(psnr(a, b)).reshape(B, T))
         best_ssim.append(np.max(per_sample["ssim"], axis=0))
         best_psnr.append(np.max(per_sample["psnr"], axis=0))
         best_lpips.append(np.min(per_sample["lpips"], axis=0))
@@ -159,6 +169,14 @@ def test_accuracy(experiment) -> Dict[str, float]:
     d = _out_dir(experiment, "accuracy")
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump(result, f)
+    # per-frame errorbar plot + csv (reference metric dumps)
+    from ..utils.latent_viz import plot_metric_errorbars
+
+    plot_metric_errorbars(
+        {"ssim": np.stack(pf_ssim), "psnr": np.stack(pf_psnr),
+         "lpips": np.stack(pf_lpips)},
+        os.path.join(d, "per_frame_metrics.png"),
+        csv_path=os.path.join(d, "per_frame_metrics.csv"))
     return result
 
 

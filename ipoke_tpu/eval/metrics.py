@@ -132,6 +132,28 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     )
 
 
+def compute_fid(vgg_params, real_images, fake_images,
+                batch_size: int = 32) -> float:
+    """Fréchet distance over pooled VGG19 features (reference ``FID`` +
+    ``FIDInceptionModel``, metrics.py:445-653; InceptionV3 is replaced by the
+    framework's egress-free feature net — a valid relative FID)."""
+    model = VGG19Features()
+
+    @jax.jit
+    def feats(x):
+        return jnp.mean(model.apply(vgg_params, x)[-1], axis=(1, 2))
+
+    def collect(images):
+        out = []
+        n = images.shape[0]
+        for i in range(0, n, batch_size):
+            out.append(np.asarray(feats(jnp.asarray(images[i:i + batch_size]))))
+        return np.concatenate(out)
+
+    a, b = collect(real_images), collect(fake_images)
+    return frechet_distance(*calculate_moments(a), *calculate_moments(b))
+
+
 def compute_fvd(i3d_params, real_videos, fake_videos,
                 batch_size: int = 8) -> float:
     """FVD over I3D logits (reference ``calculate_FVD``, metrics.py:838-845).

@@ -42,3 +42,40 @@ def plot_latent_scatter(latents: Dict[str, np.ndarray], path: str):
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def plot_metric_errorbars(per_frame: Dict[str, np.ndarray], path: str,
+                          csv_path: str = None):
+    """Per-frame metric mean +/- std errorbar plot + CSV dump (reference
+    ``make_errorbar_plot`` / csv dumps, utils/logging.py:979-1107,
+    experiments/second_stage_video.py:116-158).
+
+    per_frame: metric name -> (N, T) array."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, len(per_frame),
+                             figsize=(4 * len(per_frame), 3.2))
+    if len(per_frame) == 1:
+        axes = [axes]
+    rows = []
+    for ax, (name, arr) in zip(axes, per_frame.items()):
+        arr = np.asarray(arr)
+        mean, std = arr.mean(0), arr.std(0)
+        ax.errorbar(np.arange(1, arr.shape[1] + 1), mean, yerr=std,
+                    capsize=3)
+        ax.set_title(name)
+        ax.set_xlabel("frame")
+        rows.append((name, mean, std))
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write("metric,frame,mean,std\n")
+            for name, mean, std in rows:
+                for t, (m, s) in enumerate(zip(mean, std)):
+                    f.write(f"{name},{t + 1},{m:.6f},{s:.6f}\n")
+    return path

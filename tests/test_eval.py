@@ -84,3 +84,33 @@ def test_diversity_score():
     varied = rng.normal(size=(4, 3, 3, 8, 8, 3))
     assert diversity_score_mse(same) == 0.0
     assert diversity_score_mse(varied) > 0.1
+
+
+def test_fid_separates():
+    from ipoke_tpu.eval.metrics import compute_fid
+
+    vgg = init_vgg_params(0)
+    rng = np.random.default_rng(3)
+    real = rng.uniform(-1, 1, (32, 32, 32, 3)).astype(np.float32)
+    close = np.clip(real + rng.normal(0, 0.05, real.shape), -1,
+                    1).astype(np.float32)
+    far = np.clip(real * 0.1 + 0.8, -1, 1).astype(np.float32)
+    fid_close = compute_fid(vgg, real, close)
+    fid_far = compute_fid(vgg, real, far)
+    assert np.isfinite(fid_close) and fid_close < fid_far
+
+
+def test_metric_errorbars(tmp_path):
+    import os
+
+    from ipoke_tpu.utils.latent_viz import plot_metric_errorbars
+
+    rng = np.random.default_rng(0)
+    p = plot_metric_errorbars(
+        {"ssim": rng.uniform(0, 1, (16, 10)),
+         "lpips": rng.uniform(0, 1, (16, 10))},
+        str(tmp_path / "eb.png"), csv_path=str(tmp_path / "eb.csv"))
+    assert os.path.getsize(p) > 0
+    lines = open(tmp_path / "eb.csv").read().strip().splitlines()
+    assert lines[0] == "metric,frame,mean,std"
+    assert len(lines) == 1 + 2 * 10
