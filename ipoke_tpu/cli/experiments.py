@@ -248,7 +248,11 @@ class FirstStageExperiment(Experiment):
 
     def train_step(self, batch, epoch):
         gate = 1.0 if epoch >= self.pretrain else 0.0
-        return self._step(self.state, batch, self.next_rng(), gate)
+        # KL annealing: linear ramp over `kl_annealing` epochs (reference
+        # poke_vae.py:107-114)
+        anneal = float(self.config["training"].get("kl_annealing", 0))
+        kl_gate = min(1.0, (epoch + 1) / anneal) if anneal > 0 else 1.0
+        return self._step(self.state, batch, self.next_rng(), gate, kl_gate)
 
     def export_weights(self, state):
         return {"params": state.params_g, "stats": state.stats_g}

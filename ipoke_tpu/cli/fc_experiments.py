@@ -205,9 +205,11 @@ class SecondStageFCExperiment(Experiment):
         def _step(state, frozen, batch, rng):
             r1, r2 = jax.random.split(rng)
 
+            radial = self.model.radial
+
             def loss_fn(p):
                 z, logdet = self.model.forward_density(p, frozen, batch, r1)
-                return flow_loss(z, logdet, rng=r2)
+                return flow_loss(z, logdet, rng=r2, radial=radial)
 
             (loss, log), grads = jax.value_and_grad(
                 loss_fn, has_aux=True, allow_int=True)(state.params)

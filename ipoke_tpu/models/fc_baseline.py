@@ -249,6 +249,10 @@ class SecondStageModelFC:
                                   * self.flow_in_channels),
         )
         self.flow = build_supervised_transformer(flow_arch)
+        # radial base distribution option (reference
+        # second_stage_video_fc.py:48-50)
+        self.radial = config.get("training", {}).get(
+            "base_distribution", "gaussian") == "radial"
 
     def init(self, rng):
         return {"flow": self.flow.init(rng, (1, self.flow_in_channels))}
@@ -289,10 +293,19 @@ class SecondStageModelFC:
         return self.flow.forward(params["flow"],
                                  jax.lax.stop_gradient(motion), cond)
 
+    def sample_base(self, rng, batch_size):
+        z = jax.random.normal(rng, (batch_size, self.flow_in_channels))
+        if self.radial:
+            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+            r = jnp.abs(jax.random.normal(jax.random.fold_in(rng, 1),
+                                          (batch_size, 1)))
+            z = z * r
+        return z
+
     def forward_sample(self, params, frozen, batch, rng, length: int):
         X = batch["images"]
         cond = self.embed_conditioning(frozen, batch)
-        z = jax.random.normal(rng, (X.shape[0], self.flow_in_channels))
+        z = self.sample_base(rng, X.shape[0])
         motion = self.flow.inverse(params["flow"], z, cond)
         return self.decode_first_stage(frozen, motion, X[:, 0], length)
 
