@@ -49,8 +49,10 @@ def ssim(a, b, data_range: float = 2.0):
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     mu_a, mu_b = filt(a), filt(b)
-    va = filt(a * a) - mu_a**2
-    vb = filt(b * b) - mu_b**2
+    # clamp variances: on flat regions the filtered second moment minus mu^2
+    # can go slightly negative numerically, inflating SSIM past 1
+    va = jnp.maximum(filt(a * a) - mu_a**2, 0.0)
+    vb = jnp.maximum(filt(b * b) - mu_b**2, 0.0)
     vab = filt(a * b) - mu_a * mu_b
     s = ((2 * mu_a * mu_b + c1) * (2 * vab + c2)) / (
         (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)

@@ -74,6 +74,7 @@ def draw_poke_arrows(img: np.ndarray, poke: np.ndarray,
     import cv2
 
     out = img.copy() if img.dtype == np.uint8 else to_uint8(img)
+    out = np.ascontiguousarray(out)  # cv2 rejects sliced/strided arrays
     mag = np.linalg.norm(poke, axis=-1)
     ys, xs = np.nonzero(mag > 0)
     seen = set()

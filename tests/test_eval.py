@@ -114,3 +114,12 @@ def test_metric_errorbars(tmp_path):
     lines = open(tmp_path / "eb.csv").read().strip().splitlines()
     assert lines[0] == "metric,frame,mean,std"
     assert len(lines) == 1 + 2 * 10
+
+
+def test_ssim_bounded_on_flat_images():
+    # flat regions used to push SSIM past 1 via negative variance estimates
+    x = jnp.ones((2, 32, 32, 3)) * 0.5
+    y = x + 1e-4
+    s = ssim(x, y)
+    assert float(s.max()) <= 1.0 + 1e-6
+    assert float(s.min()) > 0.9

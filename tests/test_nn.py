@@ -123,6 +123,10 @@ def test_video_vis_utils(tmp_path):
 
     arrowed = draw_poke_arrows(x0[0], poke[0])
     assert arrowed.shape == (s, s, 3) and arrowed.dtype == np.uint8
+    # non-contiguous input (a time-slice view) must also work
+    vids = rng.uniform(-1, 1, (b, t, s, s, 3)).astype(np.float32)
+    arrowed2 = draw_poke_arrows(vids[:, 0][0], poke[0])
+    assert arrowed2.dtype == np.uint8
 
     p1 = make_flow_video_grid(x0, poke, samples, target, flow,
                               str(tmp_path / "grid.mp4"))
