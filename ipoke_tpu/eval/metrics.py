@@ -112,8 +112,17 @@ def optical_flow_metrics(f1, f2) -> Dict[str, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def calculate_moments(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean + covariance of the activation matrix.  When N << D the full
+    covariance is rank-deficient and the Fréchet distance degenerates to ~0
+    regardless of the distributions (the in-training monitor then can't rank
+    checkpoints); fall back to a diagonal covariance, which stays a valid
+    relative metric at any sample count."""
     mu = np.mean(acts, axis=0)
-    sigma = np.cov(acts, rowvar=False)
+    n, d = acts.shape
+    if n < d:
+        sigma = np.diag(np.var(acts, axis=0, ddof=1) + 1e-8)
+    else:
+        sigma = np.cov(acts, rowvar=False)
     return mu, sigma
 
 
