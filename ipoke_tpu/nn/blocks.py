@@ -40,11 +40,13 @@ def make_norm(name: str, channels: int, dtype=None) -> Optional[nn.Module]:
     if name in ("none", None):
         return None
     if name in ("group", "Group", "bn", "BN", "batch"):
-        return nn.GroupNorm(num_groups=_num_groups(channels), dtype=dtype)
+        # epsilon 1e-5 matches torch GroupNorm for weight-porting parity
+        return nn.GroupNorm(num_groups=_num_groups(channels), epsilon=1e-5,
+                            dtype=dtype)
     if name in ("in", "instance"):
         return nn.GroupNorm(
             group_size=1, num_groups=None, use_bias=False, use_scale=False,
-            dtype=dtype,
+            epsilon=1e-5, dtype=dtype,
         )
     raise ValueError(f"unsupported norm {name!r}")
 

@@ -81,3 +81,114 @@ def test_ported_weights_match_reference_forward_and_logdet(oracle):
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-4)
     x_rec_ref = np.transpose(oracle["x_rec"], (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(x_rec), x_rec_ref, atol=2e-4)
+
+
+def test_ported_conv_encoder_matches_reference():
+    sys.path.insert(0, REF)
+    import torch
+
+    from models.modules.autoencoders.fully_conv_models import (
+        ConvEncoder as RefConvEncoder,
+    )
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.encoders import ConvEncoder
+    from tools.port_reference_encoders import port_conv_encoder
+
+    torch.manual_seed(1)
+    ref = RefConvEncoder(nf_in=3, nf_max=32, n_stages=3, variational=False)
+    ref.eval()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref, mean_ref, _ = ref(torch.from_numpy(x))
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_conv_encoder(state, n_stages=3, variational=False)
+    ours = ConvEncoder(nf_in=3, nf_max=32, n_stages=3, variational=False,
+                       snorm=False)
+    out, mean_pre, _ = ours.apply({"params": params},
+                                  jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), out_ref.numpy(),
+        atol=5e-4)
+
+
+def test_ported_variational_conv_encoder_mean_matches():
+    sys.path.insert(0, REF)
+    import torch
+
+    from models.modules.autoencoders.fully_conv_models import (
+        ConvEncoder as RefConvEncoder,
+    )
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.encoders import ConvEncoder
+    from tools.port_reference_encoders import port_conv_encoder
+
+    torch.manual_seed(2)
+    ref = RefConvEncoder(nf_in=3, nf_max=32, n_stages=3, variational=True)
+    ref.eval()
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        _, mean_ref, logstd_ref = ref(torch.from_numpy(x))
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_conv_encoder(state, n_stages=3, variational=True)
+    ours = ConvEncoder(nf_in=3, nf_max=32, n_stages=3, variational=True,
+                       snorm=False)
+    z, mean, logstd = ours.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(mean), (0, 3, 1, 2)), mean_ref.numpy(),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(logstd), (0, 3, 1, 2)), logstd_ref.numpy(),
+        atol=5e-4)
+
+
+def test_ported_motion_encoder_matches_reference():
+    sys.path.insert(0, REF)
+    import torch
+
+    from models.modules.motion_models.motion_encoder import (
+        resnet18_alternative,
+    )
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.motion import ResNetMotionEncoder
+    from tools.port_reference_encoders import port_motion_encoder
+
+    torch.manual_seed(3)
+    cfg = {"ENC_M_channels": [16, 16, 32, 32], "z_dim": 8, "img_size": 32,
+           "max_frames": 4, "full_seq": True, "min_spatial_size": 4}
+    ref = resnet18_alternative(dic=cfg)
+    ref.eval()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 5, 32, 32)).astype(np.float32)  # NCTHW
+    with torch.no_grad():
+        # bypass the reference's hardcoded-.cuda() reparameterize: take the
+        # deterministic feature path
+        feats = ref.conv1(torch.from_numpy(x))
+        feats = ref.relu(ref.bn1(feats))
+        feats = ref.layer3(ref.layer2(ref.layer1(feats)))
+        mu_ref = ref.conv_mu(feats.squeeze(2))
+        logvar_ref = ref.conv_var(feats.squeeze(2))
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_motion_encoder(state)
+    ours = ResNetMotionEncoder(channels=(16, 16, 32, 32), z_dim=8,
+                               spatial_size=32, max_frames=4, full_seq=True,
+                               min_spatial_size=4)
+    x_jax = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # NTHWC
+    z, mu, logvar = ours.apply({"params": params}, x_jax)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(mu), (0, 3, 1, 2)), mu_ref.numpy(),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(logvar), (0, 3, 1, 2)), logvar_ref.numpy(),
+        atol=5e-4)

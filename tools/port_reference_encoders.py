@@ -1,0 +1,148 @@
+"""Port reference encoder weights (PyTorch) into this framework.
+
+Covers the frozen sub-models of the second stage's DENSITY path:
+
+* ``ConvEncoder`` (reference fully_conv_models.py:28-109) — the conditioner
+  phi(x_0) and poke embedder phi(c) encoders.  Spectral-norm convs are
+  collapsed to their effective eval-time weights (W = W_orig / sigma(u, v)),
+  so the target is built with ``snorm=False``; NormConv2d's weight-norm g and
+  conv bias fold into our (gamma, beta) affine.
+* ``ResNetMotionEncoder`` (reference motion_encoder.py:151-244) — the frozen
+  first-stage motion encoder producing z_m.
+
+Golden-tested against the torch reference in tests/test_reference_parity.py.
+The SPADE decoder (ConvTranspose crop + align_corners resize semantics) is
+the remaining porting surface — see TODO.md.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _conv_w(w):  # OIHW -> HWIO
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _conv3d_w(w):  # OIKTKHKW -> KTKHKWIO
+    return np.transpose(np.asarray(w), (2, 3, 4, 1, 0))
+
+
+def spectral_eval_weight(state, key):
+    """Effective eval-time weight of a torch spectral_norm conv:
+    W = weight_orig / (u^T W_mat v)."""
+    w = np.asarray(state[f"{key}.weight_orig"])
+    u = np.asarray(state[f"{key}.weight_u"])
+    v = np.asarray(state[f"{key}.weight_v"])
+    sigma = float(u @ w.reshape(w.shape[0], -1) @ v)
+    return w / sigma
+
+
+def _conv_block(state, key, snorm=True, has_norm=True):
+    """Reference Conv2dBlock -> our Conv2dBlock(snorm=False) params."""
+    w = spectral_eval_weight(state, f"{key}.conv") if snorm \
+        else np.asarray(state[f"{key}.conv.weight"])
+    out = {"Conv_0": {"kernel": _conv_w(w),
+                      "bias": np.asarray(state[f"{key}.conv.bias"])}}
+    if has_norm and f"{key}.norm.weight" in state:
+        out["GroupNorm_0"] = {
+            "scale": np.asarray(state[f"{key}.norm.weight"]),
+            "bias": np.asarray(state[f"{key}.norm.bias"]),
+        }
+    return out
+
+
+def _res_block(state, key, snorm=True, has_res_conv=True):
+    out = {
+        "Conv2dBlock_0": _conv_block(state, f"{key}.conv1", snorm),
+        "Conv2dBlock_1": _conv_block(state, f"{key}.conv2", snorm),
+    }
+    if has_res_conv:
+        # res_conv uses InstanceNorm (no params)
+        out["Conv2dBlock_2"] = _conv_block(state, f"{key}.res_conv", snorm,
+                                           has_norm=False)
+    return out
+
+
+def _norm_conv(state, key):
+    """Reference NormConv2d (weight_norm conv + gamma/beta) -> ours
+    (v, gamma, beta): gamma' = gamma*g, beta' = gamma*b + beta."""
+    v = np.asarray(state[f"{key}.conv.weight_v"])
+    g = np.asarray(state[f"{key}.conv.weight_g"]).reshape(-1)
+    b = np.asarray(state[f"{key}.conv.bias"])
+    gamma = np.asarray(state[f"{key}.gamma"]).reshape(-1)
+    beta = np.asarray(state[f"{key}.beta"]).reshape(-1)
+    # our NormConv2d convolves with v/||v|| then applies gamma*y + beta
+    return {
+        "v": _conv_w(v),
+        "gamma": gamma * g,
+        "beta": gamma * b + beta,
+    }
+
+
+def port_conv_encoder(state: Dict[str, np.ndarray], n_stages: int,
+                      variational: bool = False,
+                      prefix: str = "") -> Dict:
+    """-> params for ``nn.encoders.ConvEncoder(..., snorm=False)``."""
+    if prefix:
+        state = {k[len(prefix):]: v for k, v in state.items()
+                 if k.startswith(prefix)}
+    params = {"Conv2dBlock_0": _conv_block(state, "model.0")}
+    for i in range(1, n_stages):
+        params[f"ResBlock_{i - 1}"] = _res_block(state, f"model.{i}")
+    # bottleneck ResBlock (reference builds it with snorm default False);
+    # res_conv present iff nf != nf_max
+    has_res = f"bottleneck.0.res_conv.conv.weight" in state
+    params[f"ResBlock_{n_stages - 1}"] = _res_block(
+        state, "bottleneck.0", snorm=False, has_res_conv=has_res)
+    if variational:
+        params["NormConv2d_0"] = _norm_conv(state, "make_mu")
+        params["NormConv2d_1"] = _norm_conv(state, "make_sigma")
+    return params
+
+
+def _basic_block3d(state, key, has_downsample):
+    out = {
+        "Conv_0": {"kernel": _conv3d_w(state[f"{key}.conv1.weight"])},
+        "GroupNorm_0": {"scale": np.asarray(state[f"{key}.bn1.weight"]),
+                        "bias": np.asarray(state[f"{key}.bn1.bias"])},
+        "Conv_1": {"kernel": _conv3d_w(state[f"{key}.conv2.weight"])},
+        "GroupNorm_1": {"scale": np.asarray(state[f"{key}.bn2.weight"]),
+                        "bias": np.asarray(state[f"{key}.bn2.bias"])},
+    }
+    if has_downsample:
+        out["Conv_2"] = {
+            "kernel": _conv3d_w(state[f"{key}.downsample.0.weight"])}
+        out["GroupNorm_2"] = {
+            "scale": np.asarray(state[f"{key}.downsample.1.weight"]),
+            "bias": np.asarray(state[f"{key}.downsample.1.bias"])}
+    return out
+
+
+def port_motion_encoder(state: Dict[str, np.ndarray],
+                        prefix: str = "") -> Dict:
+    """-> params for ``nn.motion.ResNetMotionEncoder`` (same layer plan)."""
+    if prefix:
+        state = {k[len(prefix):]: v for k, v in state.items()
+                 if k.startswith(prefix)}
+    params = {
+        "Conv_0": {"kernel": _conv3d_w(state["conv1.weight"])},
+        "GroupNorm_0": {"scale": np.asarray(state["bn1.weight"]),
+                        "bias": np.asarray(state["bn1.bias"])},
+    }
+    blk = 0
+    for layer in ("layer1", "layer2", "layer3", "layer4", "layer5"):
+        j = 0
+        while f"{layer}.{j}.conv1.weight" in state:
+            has_ds = f"{layer}.{j}.downsample.0.weight" in state
+            params[f"BasicBlock3d_{blk}"] = _basic_block3d(
+                state, f"{layer}.{j}", has_ds)
+            blk += 1
+            j += 1
+    params["Conv_1"] = {"kernel": _conv_w(state["conv_mu.weight"]),
+                        "bias": np.asarray(state["conv_mu.bias"])}
+    params["Conv_2"] = {"kernel": _conv_w(state["conv_var.weight"]),
+                        "bias": np.asarray(state["conv_var.bias"])}
+    return params
