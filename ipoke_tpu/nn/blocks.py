@@ -51,6 +51,30 @@ def make_norm(name: str, channels: int, dtype=None) -> Optional[nn.Module]:
     raise ValueError(f"unsupported norm {name!r}")
 
 
+def resize_bilinear_align_corners(y, out_h: int, out_w: int):
+    """Bilinear resize matching torch F.interpolate(align_corners=True)
+    (output pixel i samples input coordinate i*(in-1)/(out-1))."""
+
+    def interp_axis(v, out_n, axis):
+        in_n = v.shape[axis]
+        if in_n == out_n:
+            return v
+        if in_n == 1:
+            return jnp.repeat(v, out_n, axis=axis)
+        coords = jnp.linspace(0.0, in_n - 1.0, out_n)
+        lo = jnp.floor(coords).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        w = (coords - lo).astype(v.dtype)
+        shape = [1] * v.ndim
+        shape[axis] = out_n
+        w = w.reshape(shape)
+        return (jnp.take(v, lo, axis=axis) * (1 - w)
+                + jnp.take(v, hi, axis=axis) * w)
+
+    y = interp_axis(y, out_h, 1)
+    return interp_axis(y, out_w, 2)
+
+
 def _num_groups(channels: int, max_groups: int = 16) -> int:
     g = min(channels, max_groups)
     while channels % g != 0:
@@ -90,7 +114,11 @@ class Conv2dBlock(nn.Module):
 
 class Conv2dTransposeBlock(nn.Module):
     """2x (or ``st``x) upsampling transpose conv -> norm -> activation
-    (reference ``util.py:7-73``)."""
+    (reference ``util.py:7-73``).
+
+    ``torch_crop`` reproduces torch ConvTranspose2d(k3, s2, p=1,
+    output_padding=1) exactly (VALID + crop[1:, 1:]; mapping proven in
+    tests/test_torch_parity.py) — used when porting reference weights."""
 
     out_dim: int
     ks: int = 3
@@ -98,22 +126,31 @@ class Conv2dTransposeBlock(nn.Module):
     norm: str = "none"
     activation: str = "elu"
     snorm: bool = False
+    torch_crop: bool = False
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = nn.ConvTranspose(
             self.out_dim, (self.ks, self.ks), strides=(self.st, self.st),
-            padding="SAME", dtype=self.dtype,
+            padding="VALID" if self.torch_crop else "SAME",
+            transpose_kernel=self.torch_crop, dtype=self.dtype,
         )
         if self.snorm:
             x = nn.SpectralNorm(conv)(x, update_stats=train)
         else:
             x = conv(x)
+        if self.torch_crop:
+            x = x[:, 1:, 1:, :]
         norm = make_norm(self.norm, self.out_dim, self.dtype)
         if norm is not None:
             x = norm(x)
-        act = get_activation(self.activation)
+        act_name = self.activation
+        if self.torch_crop and act_name == "elu":
+            # reference quirk: its Conv2dTransposeBlock maps "elu" to ReLU
+            # (util.py:41-42); replicate in port mode
+            act_name = "relu"
+        act = get_activation(act_name)
         return act(x) if act is not None else x
 
 
@@ -127,6 +164,7 @@ class ResBlock(nn.Module):
     upsampling: bool = False
     stride: int = 1
     snorm: bool = False
+    torch_crop: bool = False
     dtype: Dtype = None
 
     @nn.compact
@@ -135,7 +173,7 @@ class ResBlock(nn.Module):
         if self.upsampling:
             h = Conv2dTransposeBlock(
                 self.dim_out, 3, 2, norm=self.norm, activation=self.activation,
-                snorm=self.snorm, dtype=self.dtype,
+                snorm=self.snorm, torch_crop=self.torch_crop, dtype=self.dtype,
             )(x, train)
         else:
             h = Conv2dBlock(
@@ -152,7 +190,8 @@ class ResBlock(nn.Module):
             if self.upsampling:
                 residual = Conv2dTransposeBlock(
                     self.dim_out, 3, 2, norm="in", activation=self.activation,
-                    snorm=self.snorm, dtype=self.dtype,
+                    snorm=self.snorm, torch_crop=self.torch_crop,
+                    dtype=self.dtype,
                 )(x, train)
             else:
                 residual = Conv2dBlock(
@@ -198,17 +237,22 @@ class Spade(nn.Module):
     num_features: int
     norm: str = "group"
     hidden: int = 128
+    align_corners: bool = False  # torch F.interpolate(align_corners=True)
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, y):
         normalized = nn.GroupNorm(
             num_groups=_num_groups(self.num_features), use_bias=False,
-            use_scale=False, dtype=self.dtype,
+            use_scale=False, epsilon=1e-5, dtype=self.dtype,
         )(x)
-        y = jax.image.resize(
-            y, (y.shape[0], x.shape[1], x.shape[2], y.shape[-1]), "bilinear"
-        )
+        if self.align_corners:
+            y = resize_bilinear_align_corners(y, x.shape[1], x.shape[2])
+        else:
+            y = jax.image.resize(
+                y, (y.shape[0], x.shape[1], x.shape[2], y.shape[-1]),
+                "bilinear"
+            )
         y = jax.nn.leaky_relu(
             nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype)(y), 0.2
         )

@@ -104,12 +104,17 @@ class ConvDecoder(nn.Module):
 
 class SpadeCondConvDecoder(nn.Module):
     """Upsampling decoder with SPADE(start_frame) after every ResBlock —
-    the shipped first-stage frame renderer (ref ``fully_conv_models.py:150-192``)."""
+    the shipped first-stage frame renderer (ref ``fully_conv_models.py:150-192``).
+
+    ``torch_compat`` enables exact reference semantics for weight porting:
+    torch transpose-conv cropping, its elu->ReLU quirk, and
+    align_corners=True SPADE resizing."""
 
     dec_channels: Sequence[int]
     out_channels: int = 3
     norm: str = "group"
     snorm: bool = True
+    torch_compat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -121,9 +126,11 @@ class SpadeCondConvDecoder(nn.Module):
         for nf in self.dec_channels[1:]:
             h = ResBlock(
                 nf, norm="none", upsampling=True, snorm=self.snorm,
-                dtype=self.dtype,
+                torch_crop=self.torch_compat, dtype=self.dtype,
             )(h, train)
-            h = Spade(nf, norm=self.norm, dtype=self.dtype)(h, start_frame)
+            h = Spade(nf, norm=self.norm,
+                      align_corners=self.torch_compat,
+                      dtype=self.dtype)(h, start_frame)
         return Conv2dBlock(
             self.out_channels, 3, 1, 1, norm="none",
             activation="tanh" if self.out_channels == 3 else "none",

@@ -192,3 +192,77 @@ def test_ported_motion_encoder_matches_reference():
     np.testing.assert_allclose(
         np.transpose(np.asarray(logvar), (0, 3, 1, 2)), logvar_ref.numpy(),
         atol=5e-4)
+
+
+def test_ported_spade_decoder_matches_reference(monkeypatch):
+    sys.path.insert(0, REF)
+    import torch
+
+    # the reference Spade hardcodes .cuda() (util.py:496); run CPU-only
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    from models.modules.autoencoders.fully_conv_models import (
+        SpadeCondConvDecoder as RefDecoder,
+    )
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.encoders import SpadeCondConvDecoder
+    from tools.port_reference_encoders import port_spade_decoder
+
+    torch.manual_seed(4)
+    cfg = {"dec_channels": [32, 32, 16, 16], "z_dim": 8,
+           "spectral_norm": True, "norm": "group", "running_stats": False}
+    ref = RefDecoder(cfg)
+    ref.eval()
+    rng = np.random.default_rng(4)
+    h_t = rng.normal(size=(2, 8, 4, 4)).astype(np.float32)
+    x0 = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref([torch.from_numpy(h_t)], torch.from_numpy(x0),
+                      del_shape=True)
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_spade_decoder(state, n_blocks=3)
+    ours = SpadeCondConvDecoder(dec_channels=(32, 32, 16, 16),
+                                out_channels=3, snorm=False,
+                                torch_compat=True)
+    out = ours.apply({"params": params},
+                     jnp.asarray(np.transpose(h_t, (0, 2, 3, 1))),
+                     jnp.asarray(np.transpose(x0, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), out_ref.numpy(),
+        atol=5e-4)
+
+
+def test_ported_conv_gru_matches_reference():
+    sys.path.insert(0, REF)
+    import torch
+
+    from models.modules.motion_models.rnn import ConvGRU as RefConvGRU
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.gru import ConvGRU
+    from tools.port_reference_encoders import port_conv_gru
+
+    torch.manual_seed(5)
+    ref = RefConvGRU(input_size=8, hidden_sizes=8, kernel_sizes=3, n_layers=2)
+    ref.eval()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 8, 4, 4)).astype(np.float32)
+    h0 = [rng.normal(size=(2, 8, 4, 4)).astype(np.float32) for _ in range(2)]
+    with torch.no_grad():
+        hidden_ref = ref(torch.from_numpy(x),
+                         [torch.from_numpy(h) for h in h0])
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = port_conv_gru(state, n_layers=2)
+    ours = ConvGRU(hidden_size=8, n_layers=2)
+    hidden = ours.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        tuple(jnp.asarray(np.transpose(h, (0, 2, 3, 1))) for h in h0))
+    for a, b in zip(hidden, hidden_ref):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(a), (0, 3, 1, 2)), b.numpy(), atol=5e-4)

@@ -146,3 +146,91 @@ def port_motion_encoder(state: Dict[str, np.ndarray],
     params["Conv_2"] = {"kernel": _conv_w(state["conv_var.weight"]),
                         "bias": np.asarray(state["conv_var.bias"])}
     return params
+
+
+def spectral_eval_weight_any(state, key, transpose=False):
+    """Spectral-norm effective weight for conv OR transpose conv: torch uses
+    dim=0 for Conv and dim=1 for ConvTranspose (ambiguous to auto-detect for
+    square weights — pass ``transpose`` explicitly)."""
+    w = np.asarray(state[f"{key}.weight_orig"])
+    u = np.asarray(state[f"{key}.weight_u"])
+    v = np.asarray(state[f"{key}.weight_v"])
+    dim = 1 if transpose else 0
+    w_mat = np.moveaxis(w, dim, 0).reshape(w.shape[dim], -1)
+    sigma = float(u @ w_mat @ v)
+    return w / sigma
+
+
+def _convT_w(w):  # torch (in, out, kh, kw) -> flax transpose_kernel (kh, kw, out, in)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _conv_block_any(state, key, snorm=True, has_norm=True, transpose=False):
+    if snorm:
+        w = spectral_eval_weight_any(state, f"{key}.conv", transpose=transpose)
+    else:
+        w = np.asarray(state[f"{key}.conv.weight"])
+    kernel = _convT_w(w) if transpose else _conv_w(w)
+    conv_name = "ConvTranspose_0" if transpose else "Conv_0"
+    out = {conv_name: {"kernel": kernel,
+                       "bias": np.asarray(state[f"{key}.conv.bias"])}}
+    if has_norm and f"{key}.norm.weight" in state:
+        out["GroupNorm_0"] = {
+            "scale": np.asarray(state[f"{key}.norm.weight"]),
+            "bias": np.asarray(state[f"{key}.norm.bias"]),
+        }
+    return out
+
+
+def _res_block_up(state, key, snorm=True):
+    """Upsampling ResBlock: conv1 transpose, conv2 conv, res transpose."""
+    return {
+        "Conv2dTransposeBlock_0": _conv_block_any(state, f"{key}.conv1",
+                                                  snorm, transpose=True),
+        "Conv2dBlock_0": _conv_block_any(state, f"{key}.conv2", snorm),
+        "Conv2dTransposeBlock_1": _conv_block_any(
+            state, f"{key}.res_conv", snorm, has_norm=False, transpose=True),
+    }
+
+
+def _spade(state, key):
+    def conv(k):
+        return {"kernel": _conv_w(state[f"{key}.{k}.weight"]),
+                "bias": np.asarray(state[f"{key}.{k}.bias"])}
+
+    return {"Conv_0": conv("conv"), "Conv_1": conv("conv_gamma"),
+            "Conv_2": conv("conv_beta")}
+
+
+def port_spade_decoder(state: Dict[str, np.ndarray], n_blocks: int,
+                       in_block_has_res: bool = True,
+                       prefix: str = "") -> Dict:
+    """Reference ``SpadeCondConvDecoder`` -> params for ours with
+    ``snorm=False, torch_compat=True``."""
+    if prefix:
+        state = {k[len(prefix):]: v for k, v in state.items()
+                 if k.startswith(prefix)}
+    params = {"ResBlock_0": _res_block(state, "in_block", snorm=True,
+                                       has_res_conv=in_block_has_res)}
+    for i in range(n_blocks):
+        params[f"ResBlock_{i + 1}"] = _res_block_up(state, f"blocks.{i}")
+        params[f"Spade_{i}"] = _spade(state, f"spade_blocks.{i}")
+    params["Conv2dBlock_0"] = _conv_block_any(state, "out_conv", snorm=False,
+                                              has_norm=False)
+    return params
+
+
+def port_conv_gru(state: Dict[str, np.ndarray], n_layers: int,
+                  prefix: str = "") -> Dict:
+    """Reference ``ConvGRU`` -> params for ``nn.gru.ConvGRU``."""
+    if prefix:
+        state = {k[len(prefix):]: v for k, v in state.items()
+                 if k.startswith(prefix)}
+    params = {}
+    for i in range(n_layers):
+        params[f"cell_{i}"] = {
+            gate: {"kernel": _conv_w(state[f"cells.{i}.{gate}.weight"]),
+                   "bias": np.asarray(state[f"cells.{i}.{gate}.bias"])}
+            for gate in ("update_gate", "reset_gate", "out_gate")
+        }
+    return params
