@@ -61,6 +61,7 @@ class FirstStageModel(nn.Module):
     norm: str = "group"
     spectral_norm: bool = True
     deterministic: bool = False
+    torch_compat: bool = False  # exact reference decode semantics (porting)
     dtype: Any = None
 
     def setup(self):
@@ -80,7 +81,8 @@ class FirstStageModel(nn.Module):
             )
         self.gen = SpadeCondConvDecoder(
             dec_channels=self.dec_channels, out_channels=3, norm=self.norm,
-            snorm=self.spectral_norm, dtype=self.dtype,
+            snorm=self.spectral_norm and not self.torch_compat,
+            torch_compat=self.torch_compat, dtype=self.dtype,
         )
 
     def __call__(self, X, rng=None, train: bool = False, poke=None):
@@ -370,6 +372,7 @@ def build_first_stage(config) -> Tuple[Any, Any, Any]:
             norm=arch.get("norm", "group"),
             spectral_norm=arch.get("spectral_norm", True),
             deterministic=arch.get("deterministic", False),
+            torch_compat=arch.get("torch_compat", False),
             dtype=dtype,
         )
     disc_s = PatchDiscriminator2D(

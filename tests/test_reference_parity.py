@@ -266,3 +266,76 @@ def test_ported_conv_gru_matches_reference():
     for a, b in zip(hidden, hidden_ref):
         np.testing.assert_allclose(
             np.transpose(np.asarray(a), (0, 3, 1, 2)), b.numpy(), atol=5e-4)
+
+
+def test_ported_first_stage_decode_rollout_matches(monkeypatch):
+    """End-to-end first-stage sampling parity: motion latent -> ConvGRU
+    rollout -> SPADE decode, composed exactly like the reference
+    (first_stage_motion_model.py:497-521)."""
+    sys.path.insert(0, REF)
+    import torch
+
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    from models.modules.autoencoders.fully_conv_models import (
+        SpadeCondConvDecoder as RefDecoder,
+    )
+    from models.modules.motion_models.rnn import ConvGRU as RefConvGRU
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.models.first_stage import FirstStageModel
+    from tools.port_reference_encoders import port_first_stage
+
+    torch.manual_seed(6)
+    z_dim, s_lat, S, T, n_layers = 8, 4, 32, 3, 2
+    gru = RefConvGRU(input_size=z_dim, hidden_sizes=z_dim, kernel_sizes=3,
+                     n_layers=n_layers)
+    dec = RefDecoder({"dec_channels": [32, 32, 16, 16], "z_dim": z_dim,
+                      "spectral_norm": True, "norm": "group",
+                      "running_stats": False})
+    gru.eval(), dec.eval()
+    rng = np.random.default_rng(6)
+    motion = rng.normal(size=(2, z_dim, s_lat, s_lat)).astype(np.float32)
+    bias = rng.normal(size=(1, z_dim, s_lat, s_lat)).astype(np.float32)
+    x0 = rng.normal(size=(2, 3, S, S)).astype(np.float32)
+
+    with torch.no_grad():
+        hidden = [torch.from_numpy(motion)] * n_layers
+        in_rnn = torch.from_numpy(np.repeat(bias, 2, axis=0))
+        frames_ref = []
+        for _ in range(T):
+            hidden = gru(in_rnn, hidden)
+            frames_ref.append(dec([hidden[-1]], torch.from_numpy(x0),
+                                  del_shape=True).numpy())
+    out_ref = np.stack(frames_ref, axis=1)
+
+    state = {f"rnn.{k}": v.detach().numpy()
+             for k, v in gru.state_dict().items()}
+    state.update({f"gen.{k}": v.detach().numpy()
+                  for k, v in dec.state_dict().items()})
+    state["motion_bias"] = bias
+    # a tiny motion encoder just to complete the param tree (unused in decode)
+    from models.modules.motion_models.motion_encoder import (
+        resnet18_alternative,
+    )
+
+    enc = resnet18_alternative(dic={
+        "ENC_M_channels": [16, 16, 32, 32], "z_dim": z_dim, "img_size": S,
+        "max_frames": T, "full_seq": True, "min_spatial_size": s_lat})
+    state.update({f"enc_motion.{k}": v.detach().numpy()
+                  for k, v in enc.state_dict().items()})
+
+    params = port_first_stage(state, n_gru_layers=n_layers, n_dec_blocks=3)
+    model = FirstStageModel(
+        spatial_size=S, z_dim=z_dim, enc_channels=(16, 16, 32, 32),
+        dec_channels=(32, 32, 16, 16), n_gru_layers=n_layers,
+        min_spatial_size=s_lat, max_frames=T, torch_compat=True)
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(motion, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(x0, (0, 2, 3, 1))), T, False,
+        method=FirstStageModel.decode)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 1, 4, 2, 3)), out_ref, atol=1e-3)

@@ -234,3 +234,20 @@ def port_conv_gru(state: Dict[str, np.ndarray], n_layers: int,
             for gate in ("update_gate", "reset_gate", "out_gate")
         }
     return params
+
+
+def port_first_stage(state: Dict[str, np.ndarray], n_gru_layers: int,
+                     n_dec_blocks: int, prefix: str = "") -> Dict:
+    """Reference ``SpadeCondMotionModel`` state dict -> params for
+    ``models.first_stage.FirstStageModel(torch_compat=True)``: motion
+    encoder + ConvGRU + motion_bias + SPADE decoder."""
+    if prefix:
+        state = {k[len(prefix):]: v for k, v in state.items()
+                 if k.startswith(prefix)}
+    return {
+        "enc_motion": port_motion_encoder(state, prefix="enc_motion."),
+        "rnn": port_conv_gru(state, n_gru_layers, prefix="rnn."),
+        "motion_bias": np.transpose(np.asarray(state["motion_bias"]),
+                                    (0, 2, 3, 1)),
+        "gen": port_spade_decoder(state, n_dec_blocks, prefix="gen."),
+    }
