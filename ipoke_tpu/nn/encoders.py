@@ -152,6 +152,7 @@ class FirstStageWrapper(nn.Module):
     min_spatial_size: int = 8
     deterministic: bool = True
     poke_and_image: bool = False
+    snorm: bool = True  # False for ported reference weights (collapsed SN)
     dtype: Any = None
 
     def setup(self):
@@ -161,12 +162,13 @@ class FirstStageWrapper(nn.Module):
         nf_in_enc = self.nf_in + (3 if self.poke_and_image else 0)
         self.encoder = ConvEncoder(
             nf_in=nf_in_enc, nf_max=self.nf_max, n_stages=n_stages,
-            variational=not self.deterministic, dtype=self.dtype,
+            variational=not self.deterministic, snorm=self.snorm,
+            dtype=self.dtype,
         )
         self.decoder = ConvDecoder(
             nf_in=self.nf_max,
             in_channels=(self.nf_max,) + self.encoder.depths,
-            out_channels=self.nf_in,
+            out_channels=self.nf_in, snorm=self.snorm,
             dtype=self.dtype,
         )
 

@@ -339,3 +339,140 @@ def test_ported_first_stage_decode_rollout_matches(monkeypatch):
         method=FirstStageModel.decode)
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 1, 4, 2, 3)), out_ref, atol=1e-3)
+
+
+def test_full_second_stage_sampling_parity(monkeypatch):
+    """THE end-to-end parity test: z ~ base -> cINN inverse (conditioned on
+    ported encoders) -> ConvGRU+SPADE rollout, our SecondStageModel vs a
+    manual composition of the reference's own modules with the same z."""
+    sys.path.insert(0, REF)
+    import torch
+
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    from models.modules.autoencoders.fully_conv_models import (
+        ConvEncoder as RefConvEncoder,
+        SpadeCondConvDecoder as RefDecoder,
+    )
+    from models.modules.motion_models.motion_encoder import (
+        resnet18_alternative,
+    )
+    from models.modules.motion_models.rnn import ConvGRU as RefConvGRU
+    from models.modules.INN.macow2 import MaCowStep, MultiScaleInternal
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.core.config import Config
+    from ipoke_tpu.models.first_stage import FirstStageModel
+    from ipoke_tpu.models.second_stage import FrozenBundle, SecondStageModel
+    from ipoke_tpu.nn.encoders import FirstStageWrapper
+    from tools.port_reference_encoders import (
+        port_conv_encoder,
+        port_first_stage,
+    )
+    from tools.port_reference_flow import port_multiscale_state
+
+    torch.manual_seed(7)
+    z_dim, s_lat, S, T, n_layers, nf_cond = 8, 4, 32, 3, 2, 16
+    num_steps = [1, 1]
+
+    # ---- reference modules ----
+    cond_enc = RefConvEncoder(nf_in=3, nf_max=nf_cond, n_stages=3)
+    poke_enc = RefConvEncoder(nf_in=2, nf_max=nf_cond, n_stages=3)
+    flow_ref = MultiScaleInternal(
+        MaCowStep, num_steps=num_steps, in_channels=z_dim,
+        hidden_channels=32, h_channels=2 * nf_cond, factor=4,
+        transform="affine", prior_transform="affine", kernel_size=(2, 3),
+        coupling_type="conv", activation="elu", use_1x1=False,
+        condition_nice=False)
+    gru = RefConvGRU(input_size=z_dim, hidden_sizes=z_dim, kernel_sizes=3,
+                     n_layers=n_layers)
+    dec = RefDecoder({"dec_channels": [32, 32, 16, 16], "z_dim": z_dim,
+                      "spectral_norm": True, "norm": "group",
+                      "running_stats": False})
+    enc_motion = resnet18_alternative(dic={
+        "ENC_M_channels": [16, 16, 32, 32], "z_dim": z_dim, "img_size": S,
+        "max_frames": T, "full_seq": True, "min_spatial_size": s_lat})
+    for m in (cond_enc, poke_enc, flow_ref, gru, dec, enc_motion):
+        m.eval()
+
+    rng = np.random.default_rng(7)
+    x0 = rng.normal(size=(2, 3, S, S)).astype(np.float32)
+    poke = rng.normal(size=(2, 2, S, S)).astype(np.float32)
+    z = rng.normal(size=(2, z_dim, s_lat, s_lat)).astype(np.float32)
+    bias = rng.normal(size=(1, z_dim, s_lat, s_lat)).astype(np.float32)
+
+    with torch.no_grad():
+        # init flow's data-dependent buffers
+        h_ref = torch.cat([cond_enc(torch.from_numpy(x0))[0],
+                           poke_enc(torch.from_numpy(poke))[0]], dim=1)
+        flow_ref(torch.from_numpy(z), h=h_ref)
+        motion_ref = flow_ref(torch.from_numpy(z), h=h_ref, reverse=True)
+        hidden = [motion_ref] * n_layers
+        in_rnn = torch.from_numpy(np.repeat(bias, 2, axis=0))
+        frames = []
+        for _ in range(T):
+            hidden = gru(in_rnn, hidden)
+            frames.append(dec([hidden[-1]], torch.from_numpy(x0),
+                              del_shape=True).numpy())
+    vid_ref = np.stack(frames, axis=1)
+
+    # ---- ported composition through OUR SecondStageModel ----
+    fs_state = {f"rnn.{k}": v.numpy() for k, v in gru.state_dict().items()}
+    fs_state.update({f"gen.{k}": v.numpy()
+                     for k, v in dec.state_dict().items()})
+    fs_state.update({f"enc_motion.{k}": v.numpy()
+                     for k, v in enc_motion.state_dict().items()})
+    fs_state["motion_bias"] = bias
+    fs_params = port_first_stage(fs_state, n_gru_layers=n_layers,
+                                 n_dec_blocks=3)
+
+    fs_model = FirstStageModel(
+        spatial_size=S, z_dim=z_dim, enc_channels=(16, 16, 32, 32),
+        dec_channels=(32, 32, 16, 16), n_gru_layers=n_layers,
+        min_spatial_size=s_lat, max_frames=T, torch_compat=True)
+    cond_model = FirstStageWrapper(spatial_size=S, nf_in=3, nf_max=nf_cond,
+                                   min_spatial_size=s_lat, snorm=False)
+    poke_model = FirstStageWrapper(spatial_size=S, nf_in=2, nf_max=nf_cond,
+                                   min_spatial_size=s_lat, snorm=False)
+    frozen = {
+        "fs": FrozenBundle(fs_params, {}),
+        "cond": FrozenBundle({"encoder": port_conv_encoder(
+            {k: v.numpy() for k, v in cond_enc.state_dict().items()},
+            n_stages=3)}, {}),
+        "poke": FrozenBundle({"encoder": port_conv_encoder(
+            {k: v.numpy() for k, v in poke_enc.state_dict().items()},
+            n_stages=3)}, {}),
+    }
+    ss_cfg = Config({
+        "data": {"spatial_size": (S, S), "max_frames": T},
+        "architecture": {"flow_mid_channels": 32, "factor": 4,
+                         "num_steps": num_steps, "kernel_size": [2, 3],
+                         "transform": "affine", "prior_transform": "affine",
+                         "activation": "elu", "augmented_input": False},
+        "training": {}, "poke_embedder": {}})
+    model = SecondStageModel(ss_cfg, fs_model, cond_model, poke_model)
+    flow_state = {k: v.detach().numpy()
+                  for k, v in flow_ref.state_dict().items()}
+    params = {"flow": port_multiscale_state(flow_state, num_steps)}
+
+    batch = {
+        "images": jnp.asarray(np.transpose(
+            np.repeat(x0[:, None], T + 1, 1), (0, 1, 3, 4, 2))),
+        "poke": jnp.asarray(np.transpose(poke, (0, 2, 3, 1))),
+    }
+    # inject the same z: replicate forward_sample with explicit z
+    cond = model.embed_conditioning(frozen, batch)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(cond, (0, 3, 1, 2))), h_ref.numpy(),
+        atol=5e-4)
+    motion = model.flow.inverse(params["flow"],
+                                jnp.asarray(np.transpose(z, (0, 2, 3, 1))),
+                                cond)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(motion, (0, 3, 1, 2))), motion_ref.numpy(),
+        atol=5e-4)
+    vid = model.decode_first_stage(frozen, motion, batch["images"][:, 0], T)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(vid, (0, 1, 4, 2, 3))), vid_ref, atol=2e-3)
