@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .base import Flow
+from .base import Chain, Flow
 from .primitives import ActNorm, Shuffle
 
 
@@ -198,7 +198,11 @@ class FlatCouplingBlock(Flow):
 @dataclasses.dataclass(frozen=True)
 class ConditionalFlatFlow(Flow):
     """n_flows conditioned blocks; even blocks cond-only, odd blocks concat
-    (reference ``ConditionalFlow``, flow_blocks.py:10-66)."""
+    (reference ``ConditionalFlow``, flow_blocks.py:10-66).
+
+    Executed as ONE ``lax.scan`` over stacked (cond_only, concat) block pairs
+    (same TPU-native pattern as the conv cINN's ScannedSteps), with one
+    leftover block when n_flows is odd."""
 
     in_channels: int
     cond_channels: int
@@ -207,64 +211,89 @@ class ConditionalFlatFlow(Flow):
     n_flows: int
     activation: str = "lrelu"
 
-    def _blocks(self):
-        return [
-            FlatCouplingBlock(
-                self.in_channels, self.hidden_dim, self.depth,
-                self.cond_channels,
-                cond_mode="cond_only" if i % 2 == 0 else "concat",
-                activation=self.activation,
-            )
-            for i in range(self.n_flows)
-        ]
+    def _block(self, mode):
+        return FlatCouplingBlock(
+            self.in_channels, self.hidden_dim, self.depth,
+            self.cond_channels, cond_mode=mode, activation=self.activation,
+        )
+
+    def _structure(self):
+        from .macow import ScannedSteps
+
+        pair = Chain((self._block("cond_only"), self._block("concat")))
+        scanned = ScannedSteps(pair, self.n_flows // 2) \
+            if self.n_flows >= 2 else None
+        leftover = self._block("cond_only") if self.n_flows % 2 else None
+        return scanned, leftover
 
     def init(self, rng, x_shape=None):
-        ks = jax.random.split(rng, self.n_flows)
-        return [b.init(k, x_shape) for b, k in zip(self._blocks(), ks)]
+        scanned, leftover = self._structure()
+        k1, k2 = jax.random.split(rng)
+        return {
+            "pairs": scanned.init(k1, x_shape) if scanned else None,
+            "last": leftover.init(k2, x_shape) if leftover else None,
+        }
 
     def forward(self, params, x, h=None):
+        scanned, leftover = self._structure()
         ld = jnp.zeros(x.shape[0], x.dtype)
-        for b, p in zip(self._blocks(), params):
-            x, l = b.forward(p, x, h)
+        if scanned:
+            x, l = scanned.forward(params["pairs"], x, h)
+            ld = ld + l
+        if leftover:
+            x, l = leftover.forward(params["last"], x, h)
             ld = ld + l
         return x, ld
 
     def inverse(self, params, y, h=None):
-        blocks = self._blocks()
-        for b, p in zip(reversed(blocks), reversed(params)):
-            y = b.inverse(p, y, h)
+        scanned, leftover = self._structure()
+        if leftover:
+            y = leftover.inverse(params["last"], y, h)
+        if scanned:
+            y = scanned.inverse(params["pairs"], y, h)
         return y
 
     def ddi(self, params, x, h=None):
+        scanned, leftover = self._structure()
         ld = jnp.zeros(x.shape[0], x.dtype)
-        new = []
-        for b, p in zip(self._blocks(), params):
-            x, l, p2 = b.ddi(p, x, h)
-            new.append(p2)
+        new = dict(params)
+        if scanned:
+            x, l, new["pairs"] = scanned.ddi(params["pairs"], x, h)
+            ld = ld + l
+        if leftover:
+            x, l, new["last"] = leftover.ddi(params["last"], x, h)
             ld = ld + l
         return x, ld, new
 
 
 @dataclasses.dataclass(frozen=True)
 class UnconditionalFlatFlow(Flow):
-    """n_flows unconditional blocks (reference ``UnconditionalFlow2``)."""
+    """n_flows unconditional blocks (reference ``UnconditionalFlow2``),
+    executed as one ``lax.scan`` over stacked block params."""
 
     in_channels: int
     hidden_dim: int
     depth: int
     n_flows: int
 
-    def _blocks(self):
-        return [
-            FlatCouplingBlock(self.in_channels, self.hidden_dim, self.depth,
-                              activation="none")
-            for _ in range(self.n_flows)
-        ]
+    def _scanned(self):
+        from .macow import ScannedSteps
 
-    init = ConditionalFlatFlow.init
-    forward = ConditionalFlatFlow.forward
-    inverse = ConditionalFlatFlow.inverse
-    ddi = ConditionalFlatFlow.ddi
+        block = FlatCouplingBlock(self.in_channels, self.hidden_dim,
+                                  self.depth, activation="none")
+        return ScannedSteps(block, self.n_flows)
+
+    def init(self, rng, x_shape=None):
+        return self._scanned().init(rng, x_shape)
+
+    def forward(self, params, x, h=None):
+        return self._scanned().forward(params, x, h)
+
+    def inverse(self, params, y, h=None):
+        return self._scanned().inverse(params, y, h)
+
+    def ddi(self, params, x, h=None):
+        return self._scanned().ddi(params, x, h)
 
 
 def build_supervised_transformer(arch) -> ConditionalFlatFlow:
