@@ -229,10 +229,12 @@ class ConditionalFlatFlow(Flow):
     def init(self, rng, x_shape=None):
         scanned, leftover = self._structure()
         k1, k2 = jax.random.split(rng)
-        return {
-            "pairs": scanned.init(k1, x_shape) if scanned else None,
-            "last": leftover.init(k2, x_shape) if leftover else None,
-        }
+        params = {}
+        if scanned:
+            params["pairs"] = scanned.init(k1, x_shape)
+        if leftover:
+            params["last"] = leftover.init(k2, x_shape)
+        return params
 
     def forward(self, params, x, h=None):
         scanned, leftover = self._structure()
