@@ -73,6 +73,17 @@ class MetricsLogger:
         if self.wandb is not None:
             self.wandb.log(rec, step=step)
 
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        if self.wandb is not None:
+            try:
+                self.wandb.finish()
+            except Exception:
+                pass
+            self.wandb = None
+
 
 class Experiment:
     monitor = "loss"
@@ -131,7 +142,18 @@ class Experiment:
         self.datamodule = StaticDataModule(
             dcfg, self.datakeys, data_root=data_root, meta=meta
         )
+        self.batch_size = int(dcfg.get("batch_size", 2))
         self.resume = resume
+
+    def accumulate(self, tx):
+        """Gradient accumulation to reach ``training.min_acc_batch_size``
+        (reference experiments/experiment.py:81-82)."""
+        from ..core.optim import with_grad_accumulation
+
+        tx, k = with_grad_accumulation(tx, self.config, self.batch_size)
+        if k > 1:
+            self.logger.info(f"gradient accumulation: {k} microbatches/update")
+        return tx
 
     # -- subclass API ------------------------------------------------------
     def build(self):
@@ -146,7 +168,28 @@ class Experiment:
         return k
 
     # -- loops ---------------------------------------------------------------
+    def check_finite(self, metrics, epoch: int, step: int):
+        """NaN/divergence guard (reference ``terminate_on_nan``,
+        experiments/first_stage_video.py:45): abort cleanly instead of burning
+        the epoch budget on a diverged run."""
+        for k, v in metrics.items():
+            try:
+                fv = float(v)
+            except (TypeError, ValueError):
+                continue
+            if not np.isfinite(fv):
+                raise FloatingPointError(
+                    f"non-finite train metric {k}={fv} at epoch {epoch} "
+                    f"step {step}; aborting (terminate_on_nan)"
+                )
+
     def train(self):
+        try:
+            return self._train_loop()
+        finally:
+            self.metrics_logger.close()
+
+    def _train_loop(self):
         self.build()
         if self.resume:
             self.state = self.store.restore(self.state, "last")
@@ -180,6 +223,10 @@ class Experiment:
                     jax.profiler.stop_trace()
                     self.logger.info(f"profile trace in {profile_dir}")
                 step += 1
+                # every 10th step: scalar host pulls are not free over the
+                # remote-TPU tunnel, and a diverged run is still caught fast
+                if step % 10 == 1:
+                    self.check_finite(metrics, epoch, step)
                 if step % 50 == 1:
                     metrics = dict(metrics)
                     metrics["step_time_s"] = step_time_ema
@@ -234,7 +281,7 @@ class FirstStageExperiment(Experiment):
         wd = float(tcfg.get("weight_decay", 1e-5))
         sched = exp_decay_per_epoch(lr, float(tcfg.get("gamma", 0.98)),
                                     self.max_batches)
-        self.tx = gan_adam(sched, wd)
+        self.tx = self.accumulate(gan_adam(sched, wd))
         self.vgg_params = init_vgg_params(0)
         self.state = create_first_stage_state(
             self.next_rng(), cfg, self.model, self.disc_s, self.disc_t,
@@ -320,7 +367,8 @@ class _AEExperiment(Experiment):
         )
         self.vgg_params = init_vgg_params(0)
         lr = float(cfg["training"].get("lr", 2e-4))
-        self.tx = gan_adam(lr, float(cfg["training"].get("weight_decay", 1e-5)))
+        self.tx = self.accumulate(
+            gan_adam(lr, float(cfg["training"].get("weight_decay", 1e-5))))
         self.state = create_image_ae_state(
             self.next_rng(), cfg, self.model, self.disc, self.tx, self.tx,
             use_disc=self.use_disc,
@@ -467,19 +515,24 @@ class SecondStageExperiment(Experiment):
         state = create_second_stage_state(self.next_rng(), self.model,
                                           flow_adam(sched))
         self._ddi_done = False
-        self.tx = flow_adam(
+        self.tx = self.accumulate(flow_adam(
             sched, params=state.params,
             clip_grad_norm=float(tcfg.get("clip_grad_norm", 0)),
             use_adabelief=bool(tcfg.get("use_adabelief", False)),
-            use_adafactor=bool(tcfg.get("use_adafactor", False)))
+            use_adafactor=bool(tcfg.get("use_adafactor", False))))
         state = state.replace(opt=self.tx.init(state.params))
         self.state = state
         self._step = jax.jit(make_second_stage_train_step(self.model, self.tx))
 
     def train_step(self, batch, epoch):
+        # DDI only on a genuinely fresh run: re-running it on a restored
+        # checkpoint would zero every wn-conv g/b and re-init ActNorms from
+        # batch stats, destroying the trained params (a resumed state has
+        # step > 0)
         if not self._ddi_done:
-            self.state = self.state.replace(params=self.model.ddi(
-                self.state.params, self.frozen, batch, self.next_rng()))
+            if int(self.state.step) == 0:
+                self.state = self.state.replace(params=self.model.ddi(
+                    self.state.params, self.frozen, batch, self.next_rng()))
             self._ddi_done = True
         return self._step(self.state, self.frozen, batch, self.next_rng())
 

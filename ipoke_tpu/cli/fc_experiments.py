@@ -41,8 +41,9 @@ class FlowEncoderFCExperiment(Experiment):
             ndf=cfg.get("disc", {}).get("ndf", 64),
             n_layers=cfg.get("disc", {}).get("n_layers", 3))
         self.vgg_params = init_vgg_params(0)
-        self.tx = gan_adam(float(cfg["training"].get("lr", 2e-4)),
-                           float(cfg["training"].get("weight_decay", 1e-5)))
+        self.tx = self.accumulate(
+            gan_adam(float(cfg["training"].get("lr", 2e-4)),
+                     float(cfg["training"].get("weight_decay", 1e-5))))
         self.state = create_fcae_state(self.next_rng(), cfg, self.model,
                                        self.disc, self.tx, self.tx)
         self._step = jax.jit(make_fcae_train_step(
@@ -104,7 +105,8 @@ class _FCEncoderExperiment(_AEExperiment):
             ndf=cfg.get("disc", {}).get("ndf", 64),
             n_layers=cfg.get("disc", {}).get("n_layers", 3))
         self.vgg_params = init_vgg_params(0)
-        self.tx = gan_adam(float(cfg["training"].get("lr", 2e-4)))
+        self.tx = self.accumulate(gan_adam(float(cfg["training"].get(
+            "lr", 2e-4))))
         self.state = create_image_ae_state(
             self.next_rng(), cfg, self.model, self.disc, self.tx, self.tx,
             use_disc=self.use_disc)
@@ -193,7 +195,7 @@ class SecondStageFCExperiment(Experiment):
             int(tcfg.get("lr_scaling_max_it", 500)),
             self.n_epochs * self.max_batches)
         params = self.model.init(self.next_rng())
-        self.tx = flow_adam(sched, params=params)
+        self.tx = self.accumulate(flow_adam(sched, params=params))
         self.state = FlowTrainState(params=params, opt=self.tx.init(params),
                                     step=jnp.zeros((), jnp.int32))
         self._ddi_done = False
@@ -222,9 +224,12 @@ class SecondStageFCExperiment(Experiment):
         self._step = jax.jit(_step)
 
     def train_step(self, batch, epoch):
+        # skip DDI on resumed runs (restored step > 0) — see
+        # SecondStageExperiment.train_step
         if not self._ddi_done:
-            self.state = self.state.replace(params=self.model.ddi(
-                self.state.params, self.frozen, batch, self.next_rng()))
+            if int(self.state.step) == 0:
+                self.state = self.state.replace(params=self.model.ddi(
+                    self.state.params, self.frozen, batch, self.next_rng()))
             self._ddi_done = True
         return self._step(self.state, self.frozen, batch, self.next_rng())
 
@@ -303,7 +308,7 @@ class INNFCAEExperiment(Experiment):
             float(tcfg.get("lr", 1e-3)),
             int(tcfg.get("lr_scaling_max_it", 500)),
             self.n_epochs * self.max_batches)
-        self.tx = flow_adam(sched, params=params)
+        self.tx = self.accumulate(flow_adam(sched, params=params))
         self.state = FlowTrainState(params=params, opt=self.tx.init(params),
                                     step=jnp.zeros((), jnp.int32))
 
@@ -422,7 +427,7 @@ class FlowMotionExperiment(Experiment):
         state = create_third_stage_state(
             self.next_rng(), self.model, flow_adam(sched),
             weight_recon=float(tcfg.get("weight_recon", 1.0)))
-        self.tx = flow_adam(sched, params=state.params)
+        self.tx = self.accumulate(flow_adam(sched, params=state.params))
         self.state = state.replace(opt=self.tx.init(state.params))
         self._step = jax.jit(make_flow_motion_train_step(
             self.model, self.ss_params, self.tx))

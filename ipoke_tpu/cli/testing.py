@@ -265,7 +265,7 @@ def test_transfer(experiment) -> Dict[str, float]:
     @jax.jit
     def transfer(params, frozen, batch_a, batch_b, rng):
         z, _ = model.forward_density(params, frozen, batch_a, rng)
-        cond_b = model.embed_conditioning(frozen, batch_b)
+        cond_b = model.embed_conditioning(frozen, batch_b, params)
         motion = model.flow.inverse(params["flow"], z, cond_b)
         if model.augment_input:
             motion = motion[..., : model.first_stage.z_dim]

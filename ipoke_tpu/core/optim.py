@@ -58,6 +58,38 @@ def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
     )
 
 
+def gated_update(tx, gate, grads, opt_state, params):
+    """``tx.update`` + apply, but params AND optimizer moments stay untouched
+    when the traced ``gate`` is 0.
+
+    Multiplying the *loss* by a 0/1 gate is not enough: ``gan_adam`` chains
+    ``add_decayed_weights`` before ``scale_by_adam``, so decay-only gradients
+    become ~lr-magnitude sign-like steps that shrink the gated net toward zero
+    (the reference skips the optimizer step entirely during ``pretrain`` /
+    disc-has-won phases)."""
+    upd, new_opt = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, upd)
+    sel = lambda n, o: jnp.where(gate > 0, n, o)
+    return (
+        jax.tree_util.tree_map(sel, new_params, params),
+        jax.tree_util.tree_map(sel, new_opt, opt_state),
+    )
+
+
+def with_grad_accumulation(tx, config, batch_size: int):
+    """Wrap ``tx`` in ``optax.MultiSteps`` so k microbatches accumulate into
+    one update, with ``k = ceil(min_acc_batch_size / batch_size)`` (reference
+    ``experiments/experiment.py:81-82``). Returns ``(tx, k)``."""
+    import math
+
+    min_acc = int(config.get("training", {}).get("min_acc_batch_size", 0) or 0)
+    bs = max(1, int(batch_size))
+    if min_acc <= bs:
+        return tx, 1
+    k = math.ceil(min_acc / bs)
+    return optax.MultiSteps(tx, every_k_schedule=k), k
+
+
 def zero_buffer_grads(grads, params):
     """Replace grads of ``buf_*`` leaves with zeros (they may come back as
     float0 from jax.grad on int leaves)."""

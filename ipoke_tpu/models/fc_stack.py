@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..core.optim import gated_update
 from ..nn import PatchDiscriminator2D, hinge_d_loss
 from ..nn.vgg import vgg_loss
 from .big_ae import BigAE, gaussian_kl
@@ -122,9 +123,8 @@ def make_fcae_train_step(config, model: BigAE, disc, vgg_params, tx, tx_d) -> Ca
         (d_loss, (new_d, lr_mean, lf_mean)), g_d = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.params_d)
         gate = (d_loss > 0).astype(jnp.float32)
-        g_d = jax.tree_util.tree_map(lambda g: g * gate, g_d)
-        upd_d, opt_d = tx_d.update(g_d, state.opt_d, state.params_d)
-        params_d = optax.apply_updates(state.params_d, upd_d)
+        params_d, opt_d = gated_update(
+            tx_d, gate, g_d, state.opt_d, state.params_d)
 
         metrics = {
             "rec_loss": rec_loss, "p_loss": p_loss, "kl_loss": kl,

@@ -25,6 +25,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from ..core.optim import gated_update
 from ..nn import (
     ConvGRU,
     PatchDiscriminator2D,
@@ -98,17 +99,32 @@ class FirstStageModel(nn.Module):
 
     def decode(self, motion, start_frame, length: int, train: bool = False):
         """ConvGRU rollout + per-frame SPADE decoding
-        (reference ``:497-521`` / ``second_stage_video.py:372-393``)."""
+        (reference ``:497-521`` / ``second_stage_video.py:372-393``).
+
+        One ``nn.scan`` over the T frames (params broadcast; spectral-norm
+        power-iteration stats carried sequentially in train mode) instead of
+        a Python loop — the unrolled HLO was the main compile-time cost of
+        the shipped-scale sampling/train programs."""
         hidden = tuple(motion for _ in range(self.n_gru_layers))
         if self.use_motion_bias:
             in_rnn = jnp.tile(self.motion_bias, (motion.shape[0], 1, 1, 1))
         else:
             in_rnn = motion
-        frames = []
-        for _ in range(length):
-            hidden = self.rnn(in_rnn, hidden)
-            frames.append(self.gen(hidden[-1], start_frame, train=train))
-        return jnp.stack(frames, axis=1)
+
+        def body(mdl, hidden, _):
+            hidden = mdl.rnn(in_rnn, hidden)
+            return hidden, mdl.gen(hidden[-1], start_frame, train=train)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params" if train else ["params",
+                                                       "batch_stats"],
+            variable_carry="batch_stats" if train else False,
+            split_rngs={"params": False},
+            length=length,
+        )
+        _, frames = scan(self, hidden, None)
+        return jnp.moveaxis(frames, 0, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -224,8 +240,8 @@ def make_first_stage_train_step(
 
         (_, (loss_dt, gp_dt, new_dt)), g_dt = jax.value_and_grad(
             dt_loss_fn, has_aux=True)(state.params_dt)
-        upd, opt_dt = tx_dt.update(g_dt, state.opt_dt, state.params_dt)
-        params_dt = optax.apply_updates(state.params_dt, upd)
+        params_dt, opt_dt = gated_update(
+            tx_dt, disc_gate, g_dt, state.opt_dt, state.params_dt)
         stats_dt = new_dt.get("batch_stats", state.stats_dt)
 
         # ---- spatial disc update ----
@@ -250,8 +266,8 @@ def make_first_stage_train_step(
 
         (_, (loss_ds, new_ds)), g_ds = jax.value_and_grad(
             ds_loss_fn, has_aux=True)(state.params_ds)
-        upd, opt_ds = tx_ds.update(g_ds, state.opt_ds, state.params_ds)
-        params_ds = optax.apply_updates(state.params_ds, upd)
+        params_ds, opt_ds = gated_update(
+            tx_ds, disc_gate, g_ds, state.opt_ds, state.params_ds)
         stats_ds = new_ds.get("batch_stats", state.stats_ds)
 
         # ---- generator update (updated discs, frozen) ----

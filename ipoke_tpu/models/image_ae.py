@@ -23,6 +23,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from ..core.optim import gated_update
 from ..nn import PatchDiscriminator2D, gradient_penalty, hinge_d_loss
 from ..nn.encoders import FirstStageWrapper
 from ..nn.vgg import vgg_loss
@@ -151,8 +152,8 @@ def make_image_ae_train_step(
 
             (_, (loss_d, new_d)), g_d = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.params_d)
-            upd, opt_d = tx_d.update(g_d, state.opt_d, state.params_d)
-            params_d = optax.apply_updates(state.params_d, upd)
+            params_d, opt_d = gated_update(
+                tx_d, disc_gate, g_d, state.opt_d, state.params_d)
             stats_d = new_d.get("batch_stats", state.stats_d)
         else:
             loss_d = 0.0

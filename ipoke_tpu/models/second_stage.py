@@ -80,11 +80,33 @@ class SecondStageModel:
         self.flow = build_macow_transformer(flow_arch)
         self.flow_in_channels = flow_in
         self.min_spatial_size = first_stage.min_spatial_size
-        if self.use_cond:
-            assert conditioner.min_spatial_size == first_stage.min_spatial_size, (
-                "conditioner/first-stage latent sizes must match (the "
-                "reference's conv_adapt resize path is not implemented yet)"
-            )
+        # conv_adapt: learned spatial adapters when the poke-embedder /
+        # conditioner latent size differs from the first stage's (reference
+        # second_stage_video.py:125-141: strided conv to downsample,
+        # Conv2dTransposeBlock(norm=group) to upsample; params live in the
+        # trainable tree, applied inside make_flow_input :286-297)
+        self.adapt_poke = self._make_adapter(
+            poke_embedder.min_spatial_size, self.min_spatial_size,
+            poke_embedder.nf_max)
+        self.adapt_cond = self._make_adapter(
+            conditioner.min_spatial_size, self.min_spatial_size,
+            conditioner.nf_max) if self.use_cond else None
+
+    @staticmethod
+    def _make_adapter(src: int, dst: int, nf: int):
+        from flax import linen as nn
+
+        from ..nn.blocks import Conv2dTransposeBlock
+
+        if src == dst:
+            return None
+        if src > dst:
+            assert src % dst == 0, (src, dst)
+            f = src // dst
+            return nn.Conv(nf, (3, 3), strides=(f, f), padding=1)
+        assert dst % src == 0, (src, dst)
+        return Conv2dTransposeBlock(out_dim=nf, ks=3, st=dst // src,
+                                    norm="group")
 
     # -- init ---------------------------------------------------------------
     def init(self, rng) -> Any:
@@ -95,11 +117,24 @@ class SecondStageModel:
         if self.augment_input:
             params["scale_augment"] = jnp.ones((self.augment_channels,))
             params["shift_augment"] = jnp.zeros((self.augment_channels,))
+        if self.adapt_poke is not None:
+            src = self.poke_embedder.min_spatial_size
+            params["adapt_poke"] = self.adapt_poke.init(
+                k2, jnp.zeros((1, src, src, self.poke_embedder.nf_max))
+            )["params"]
+        if self.adapt_cond is not None:
+            src = self.conditioner.min_spatial_size
+            params["adapt_cond"] = self.adapt_cond.init(
+                k3, jnp.zeros((1, src, src, self.conditioner.nf_max))
+            )["params"]
         return params
 
     # -- frozen embeddings ---------------------------------------------------
-    def embed_conditioning(self, frozen, batch):
-        """h = [phi(x_0), phi(poke)] (reference make_flow_input :266-326)."""
+    def embed_conditioning(self, frozen, batch, params=None):
+        """h = [phi(x_0), phi(poke)] (reference make_flow_input :266-326).
+
+        ``params`` carries the trainable conv_adapt adapters (if any); the
+        embedders themselves stay frozen."""
         poke = batch[self.poke_key]
         X = batch["images"]
         if self.embed_poke_and_image:
@@ -109,6 +144,10 @@ class SecondStageModel:
              "batch_stats": frozen["poke"].stats},
             poke, train=False, method=FirstStageWrapper.encode,
         )
+        if self.adapt_poke is not None:
+            assert params is not None, "conv_adapt requires trainable params"
+            poke_emb = self.adapt_poke.apply(
+                {"params": params["adapt_poke"]}, poke_emb)
         if not self.use_cond:
             return poke_emb
         z, mean, _ = self.conditioner.apply(
@@ -117,6 +156,10 @@ class SecondStageModel:
             X[:, 0], train=False, method=FirstStageWrapper.encode,
         )
         cond = z if self.conditioner.deterministic else mean
+        if self.adapt_cond is not None:
+            assert params is not None, "conv_adapt requires trainable params"
+            cond = self.adapt_cond.apply(
+                {"params": params["adapt_cond"]}, cond)
         return jnp.concatenate([cond, poke_emb], axis=-1)
 
     def encode_first_stage(self, frozen, X, rng):
@@ -146,7 +189,7 @@ class SecondStageModel:
     def forward_density(self, params, frozen, batch, rng):
         """(z, logdet) for NLL training (reference :356-361)."""
         r1, r2 = jax.random.split(rng)
-        cond = self.embed_conditioning(frozen, batch)
+        cond = self.embed_conditioning(frozen, batch, params)
         motion = self.encode_first_stage(frozen, batch["images"], r1)
         flow_input = self._augment(params, jax.lax.stop_gradient(motion), r2)
         return self.flow.forward(params["flow"], flow_input, cond)
@@ -156,7 +199,7 @@ class SecondStageModel:
         (reference :337-354)."""
         X = batch["images"]
         s = self.min_spatial_size
-        cond = self.embed_conditioning(frozen, batch)
+        cond = self.embed_conditioning(frozen, batch, params)
         z = jax.random.normal(
             rng, (X.shape[0], s, s, self.flow_in_channels), jnp.float32
         )
@@ -168,7 +211,7 @@ class SecondStageModel:
     def ddi(self, params, frozen, batch, rng):
         """Data-dependent init of the flow from one batch."""
         r1, r2 = jax.random.split(rng)
-        cond = self.embed_conditioning(frozen, batch)
+        cond = self.embed_conditioning(frozen, batch, params)
         motion = self.encode_first_stage(frozen, batch["images"], r1)
         flow_input = self._augment(params, motion, r2)
         _, _, new_flow = self.flow.ddi(params["flow"], flow_input, cond)

@@ -163,7 +163,7 @@ class FlowMotionModel:
         """The composed fork capability: measured/encoded flow -> INN ->
         second-stage residual -> motion latent -> video (no poke needed)."""
         residual, _ = self.forward_density(params, frozen, batch, rng)
-        cond = self.second_stage.embed_conditioning(frozen, batch)
+        cond = self.second_stage.embed_conditioning(frozen, batch, ss_params)
         motion = self.second_stage.flow.inverse(ss_params["flow"], residual,
                                                 cond)
         if self.second_stage.augment_input:

@@ -98,6 +98,61 @@ def test_second_stage_density_and_sampling():
     assert bool(jnp.all(jnp.isfinite(vid)))
 
 
+def test_second_stage_conv_adapt_mismatched_latent_sizes():
+    """conv_adapt (reference second_stage_video.py:125-141): embedders whose
+    min_spatial_size differs from the first stage's get learned stride /
+    transpose-conv adapters; the composition trains and samples."""
+    fs_model, *_ = build_first_stage(FS_CFG)
+    X = jnp.zeros((1, 4, 32, 32, 3))
+    fs_vars = fs_model.init({"params": K(0)}, X, rng=K(1), train=False)
+    # conditioner latent 2x2 (needs upsample to 4), poke latent 8x8 (needs
+    # strided downsample to 4)
+    cond = FirstStageWrapper(spatial_size=32, nf_in=3, nf_max=16,
+                             min_spatial_size=2, deterministic=True)
+    cond_vars = cond.init({"params": K(2)}, jnp.zeros((1, 32, 32, 3)),
+                          train=False)
+    poke = FirstStageWrapper(spatial_size=32, nf_in=2, nf_max=16,
+                             min_spatial_size=8, deterministic=True)
+    poke_vars = poke.init({"params": K(3)}, jnp.zeros((1, 32, 32, 2)),
+                          train=False)
+    frozen = {
+        "fs": FrozenBundle(fs_vars["params"], fs_vars.get("batch_stats", {})),
+        "cond": FrozenBundle(cond_vars["params"],
+                             cond_vars.get("batch_stats", {})),
+        "poke": FrozenBundle(poke_vars["params"],
+                             poke_vars.get("batch_stats", {})),
+    }
+    model = SecondStageModel(SS_CFG, fs_model, cond, poke)
+    assert model.adapt_poke is not None and model.adapt_cond is not None
+
+    rng = np.random.default_rng(2)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(
+        rng, batch_size=2, n_frames=3, spatial_size=32).items()}
+    state = create_second_stage_state(K(4), model, flow_adam(1e-3))
+    assert "adapt_poke" in state.params and "adapt_cond" in state.params
+
+    cond_emb = model.embed_conditioning(frozen, batch, state.params)
+    assert cond_emb.shape == (2, 4, 4, 32)  # both adapted to fs latent size
+
+    tx = flow_adam(1e-3, params=state.params)  # constant lr (no warmup-0)
+    state = state.replace(opt=tx.init(state.params))
+    step = jax.jit(make_second_stage_train_step(model, tx))
+    before = jax.tree_util.tree_map(lambda x: x.copy(),
+                                    state.params["adapt_poke"])
+    state, log = step(state, frozen, batch, K(5))
+    assert np.isfinite(float(log["flow_loss"]))
+    moved = not jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), before,
+        state.params["adapt_poke"]))
+    assert moved, "adapters must train"
+
+    vid = jax.jit(
+        lambda p, f, b, r: model.forward_sample(p, f, b, r, length=3)
+    )(state.params, frozen, batch, K(6))
+    assert vid.shape == (2, 3, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(vid)))
+
+
 def test_second_stage_density_latent_shape_matches_input():
     fs_model, cond, poke, frozen = _make_frozen()
     model = SecondStageModel(SS_CFG, fs_model, cond, poke)
