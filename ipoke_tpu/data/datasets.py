@@ -57,10 +57,29 @@ def compute_grabcut_mask(img_u8: np.ndarray, iters: int = 3) -> np.ndarray:
     return (mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)
 
 
+def flow_path_frame_gaps(flow_paths_row) -> np.ndarray:
+    """Frame gaps encoded in flow filenames (``prediction_<i>_<j>.flow.npy``
+    -> j - i), reference flow_dataset.py:63,103-117."""
+    gaps = []
+    for p in flow_paths_row:
+        stem = os.path.basename(str(p)).split(".")[0]
+        parts = stem.split("_")
+        try:
+            gaps.append(int(parts[-1]) - int(parts[-2]))
+        except (ValueError, IndexError):
+            gaps.append(-1)
+    return np.asarray(gaps)
+
+
 class VideoDataset:
     subsample_step = 1
     flow_cutoff = 1.0
     obj_weighting = False
+    filter_flow_default = False
+    use_flow_for_weights = True  # mask source: flow magnitude vs grabCut
+    flow_width_factor = 5
+    use_lanczos = False
+    default_lag = 0
 
     def __init__(self, config: dict, datakeys: Sequence[str], train: bool = True,
                  meta: Optional[dict] = None, data_root: Optional[str] = None):
@@ -81,7 +100,12 @@ class VideoDataset:
         )
         self.equal_poke_val = bool(config.get("equal_poke_val", True))
         self.scale_poke_to_res = bool(config.get("scale_poke_to_res", False))
-        self.filter_flow = bool(config.get("filter_flow", False))
+        self.filter_flow = bool(config.get("filter_flow",
+                                           self.filter_flow_default))
+        if "use_flow_for_weights" in config:
+            self.use_flow_for_weights = bool(config["use_flow_for_weights"])
+        self.split = config.get("split", "official")
+        self.filter_proc = config.get("filter", "all")
         self.augment = bool(config.get("augment", False)) and train
         self.normalize_01 = bool(config.get("01_normalize", False))
         self.max_trials_flow_load = 50
@@ -93,24 +117,37 @@ class VideoDataset:
         if meta is None:
             with open(os.path.join(data_root, "meta.p"), "rb") as f:
                 meta = pickle.load(f)
+        self.data_root = data_root
         self._build_index(meta, data_root)
         self._set_instance_specific_values()
+        self._select_lag()
+        # variable-length chunking thresholds (reference flow_dataset.py:
+        # 161-163); kept for parity — like the reference's live fixed-length
+        # path, nothing consumes it unless variable-length sampling is used
+        self.seq_len_T_chunk = {
+            l: c for l, c in enumerate(np.linspace(
+                0, self.flow_cutoff, self.max_frames, endpoint=False))
+        }
+        self.seq_len_T_chunk[self.max_frames] = self.flow_cutoff
 
     # -- index ---------------------------------------------------------------
     def _build_index(self, meta: dict, data_root: Optional[str]):
         dd = {k: np.asarray(v) for k, v in meta.items()}
-        if "train" in dd:
-            sel = dd["train"].astype(bool)
-            if not self.train:
-                sel = ~sel
-            if sel.any():
-                dd = {k: v[sel] for k, v in dd.items()}
+        dd = self._filter_data(dd)
+        keep = self._make_split(dd)
+        if keep is not None:
+            dd = {k: v[keep] for k, v in dd.items()}
         if data_root is not None:
             join = np.vectorize(lambda p: os.path.join(data_root, str(p)))
             dd["img_path"] = join(dd["img_path"])
             dd["flow_paths"] = join(dd["flow_paths"])
         if dd["flow_paths"].ndim == 1:
             dd["flow_paths"] = dd["flow_paths"][:, None]
+        # order flow columns naturally by their frame gap (reference
+        # flow_dataset.py:73-74 natsorted)
+        if dd["flow_paths"].shape[1] > 1:
+            order = np.argsort(flow_path_frame_gaps(dd["flow_paths"][0]))
+            dd["flow_paths"] = dd["flow_paths"][:, order]
         self.datadict = dd
         # per-video last frame index (global ids)
         vids = dd["vid"]
@@ -120,10 +157,63 @@ class VideoDataset:
             idx = np.flatnonzero(vids == v)
             self.seq_end_id[idx] = idx.max()
             self.sids_per_seq[v] = idx.min()
-        self.valid_lags = [0]
+        self.valid_lags = [self.default_lag]
+
+    def _filter_data(self, dd: dict) -> dict:
+        """Pre-split filter procedures (reference flow_dataset.py:133-138:
+        'action' keeps action_id==2, 'pose' keeps action_id==1)."""
+        if self.filter_proc in ("action", "pose") and "action_id" in dd:
+            want = 2 if self.filter_proc == "action" else 1
+            sel = dd["action_id"] == want
+            if sel.any():
+                dd = {k: v[sel] for k, v in dd.items()}
+        return dd
+
+    def _make_split(self, dd: dict) -> Optional[np.ndarray]:
+        """Index array of this split (train/test), or None for all.
+
+        Base behavior: the ``train`` flag in the meta pickle (reference
+        VegetationDataset/TaichiDataset/Human36mDataset 'official' splits,
+        flow_dataset.py:338-350,588-604)."""
+        if "train" in dd and dd["train"].size:
+            sel = dd["train"].astype(bool)
+            if not self.train:
+                sel = ~sel
+            if sel.any():
+                return np.flatnonzero(sel)
+        return None
+
+    def _split_per_group(self, dd: dict, key: str,
+                         frac: float = 0.8) -> np.ndarray:
+        """First 80% of each group's frames -> train (reference per-video
+        fallback split, flow_dataset.py:452-470)."""
+        groups = dd.get(key, dd["vid"])
+        train_idx, test_idx = [], []
+        for g in np.unique(groups):
+            idx = np.flatnonzero(groups == g)
+            cut = int(frac * idx.shape[0])
+            train_idx.append(idx[:cut])
+            test_idx.append(idx[cut:])
+        return np.sort(np.concatenate(train_idx if self.train else test_idx))
 
     def _set_instance_specific_values(self):
         pass
+
+    def _select_lag(self):
+        """Pick the flow column whose frame gap matches the clip span
+        ``(n_ref_frames or max_frames) * subsample_step`` (reference
+        flow_dataset.py:100-119).  Falls back to the class default when no
+        column matches (e.g. single-lag synthetic data)."""
+        gaps = flow_path_frame_gaps(self.datadict["flow_paths"][0])
+        n_ref = int(self.config.get("n_ref_frames", self.max_frames))
+        target = n_ref * self.subsample_step
+        hit = np.flatnonzero(gaps == target)
+        if hit.size:
+            self.valid_lags = [int(hit[0])]
+        else:
+            self.valid_lags = [
+                min(self.default_lag, self.datadict["flow_paths"].shape[1] - 1)
+            ]
 
     def __len__(self):
         return int(self.datadict["img_path"].shape[0])
@@ -155,9 +245,12 @@ class VideoDataset:
         if img is None:
             raise FlowError(f"could not read image {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        # Human3.6m resizes with lanczos (reference flow_dataset.py:585
+        # use_lanczos; base_dataset.py resize call)
+        interp = cv2.INTER_LANCZOS4 if self.use_lanczos else cv2.INTER_LINEAR
         img = cv2.resize(
             img, (self.spatial_size[1], self.spatial_size[0]),
-            interpolation=cv2.INTER_LINEAR,
+            interpolation=interp,
         )
         return img
 
@@ -213,9 +306,19 @@ class VideoDataset:
             flow = geom_t.apply_flow(flow)
         return flow
 
+    def _get_fg_mask(self, ids, flow):
+        """Foreground mask for poke-candidate filtering (reference
+        ``_get_mask``, base_dataset.py:351-360): flow-magnitude mask when
+        ``use_flow_for_weights`` (h36m) else grabCut over the start frame
+        (iPER/taichi)."""
+        if self.use_flow_for_weights:
+            return compute_flow_mask(flow)
+        img = self._load_img(self.datadict["img_path"][ids[0]])
+        return compute_grabcut_mask(img)
+
     def _get_poke(self, ids, rng, **kw):
         flow = self._load_flow((ids[0], 0))
-        mask = compute_flow_mask(flow) if self.filter_flow else None
+        mask = self._get_fg_mask(ids, flow) if self.filter_flow else None
         poke, centers = simulate_poke(
             flow, rng, self.n_pokes, self.poke_size,
             zero_poke=(ids[1] == -1), fix_n_pokes=self.fix_n_pokes,
@@ -255,7 +358,17 @@ class VideoDataset:
         raise NotImplementedError(f"{type(self).__name__} has no keypoints")
 
     _get_keypoint_poke = _get_keypoints
-    _get_nn = _get_keypoints
+
+    def _get_nn_index(self, ids, rng) -> int:
+        """Start frame of the kinematics nearest neighbor.  Base fallback:
+        a random frame from a different video (datasets without keypoint-NN
+        metadata — the reference only supports `nn` on iPER,
+        flow_dataset.py:511-562)."""
+        vids = self.datadict["vid"]
+        others = np.flatnonzero(vids != vids[ids[0]])
+        if others.size == 0:
+            others = np.arange(len(self))
+        return int(rng.choice(others))
 
     # -- item assembly -----------------------------------------------------------
     def get_item(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
@@ -307,7 +420,17 @@ class VideoDataset:
                         out["keypoint_poke_coords"] = kp_centers
                         out["keypoint_poke_ids"] = kp_ids
                     elif key == "nn":
-                        out[key] = self._get_nn(ids, rng)
+                        # kinematics-NN clip payload (reference _get_nn,
+                        # flow_dataset.py:511-562 returns imgs+flow+ids of
+                        # the retrieved neighbor)
+                        nn_ids = (self._get_nn_index(ids, rng), ids[1])
+                        out["nn_images"] = self._get_imgs(nn_ids, rng,
+                                                          color_t, geom_t)
+                        out["nn_flow"] = self._get_flow(nn_ids, rng, geom_t)
+                        out["nn_sample_ids"] = np.asarray(
+                            [nn_ids[0]] +
+                            [nn_ids[0] + i * self.subsample_step
+                             for i in range(1, self.max_frames + 1)])
                 return out
             except FlowError:
                 ids = (int(rng.integers(0, len(self))), ids[1])
@@ -318,11 +441,13 @@ class VideoDataset:
 
 class PlantDataset(VideoDataset):
     """Poking Plants (reference flow_dataset.py:22-320): flow_cutoff 0.4,
-    temporal subsample 2, object weighting."""
+    temporal subsample 2, object weighting (inverse per-object frequency,
+    normalized — reference ``:188-195``)."""
 
     subsample_step = 2
     flow_cutoff = 0.4
     obj_weighting = True
+    default_lag = 1  # reference :207 (pre lag-reset)
 
     def _set_instance_specific_values(self):
         if "object_id" in self.datadict and "weights" not in self.datadict:
@@ -334,10 +459,52 @@ class PlantDataset(VideoDataset):
 
 
 class IperDataset(VideoDataset):
-    """iPER (reference flow_dataset.py:372-562): official actor split,
-    keypoint metadata when available (run the ``pose_estimation`` prep)."""
+    """iPER (reference flow_dataset.py:372-562): official ``train.txt``
+    split, grabCut poke filtering (flow_cutoff 0.6), keypoint metadata when
+    available (run the ``pose_estimation`` prep)."""
 
     subsample_step = 1
+    flow_cutoff = 0.6
+    filter_flow_default = True
+    use_flow_for_weights = False  # grabCut mask (reference :398)
+    default_lag = 0
+
+    # reference :382-390 — bone segments over the pose-net keypoint layout
+    bone_ids = {
+        "r_upperarm": (11, 12), "r_forearm": (10, 11),
+        "l_upperam": (13, 14), "l_forearm": (14, 15), "spine": (6, 7),
+        "l_thigh": (1, 2), "r_thigh": (3, 4), "r_lowerleg": (0, 1),
+        "l_lowerleg": (4, 5),
+    }
+
+    def _make_split(self, dd):
+        """``split: official`` -> the published ``train.txt`` video names
+        (reference :430-450); per-key 80/20 otherwise."""
+        if self.split == "official":
+            train_txt = None
+            if self.data_root is not None:
+                cand = os.path.join(self.data_root, "train.txt")
+                if os.path.exists(cand):
+                    train_txt = cand
+            if train_txt is not None:
+                with open(train_txt) as f:
+                    names = [n.replace("/", "_").rstrip() for n in f
+                             if n.strip()]
+                paths = dd["img_path"].astype(str)
+                train_idx = np.asarray([], dtype=np.int64)
+                for n in names:
+                    train_idx = np.append(
+                        train_idx, np.flatnonzero(np.char.find(paths, n) != -1))
+                train_idx = np.sort(np.unique(train_idx))
+                if self.train:
+                    return train_idx
+                return np.flatnonzero(np.logical_not(np.isin(
+                    np.arange(paths.shape[0]), train_idx)))
+            return super()._make_split(dd)  # 'train' flag fallback
+        key = {"videos": "vid", "objects": "object_id",
+               "actions": "action_id", "actors": "actor_id"}.get(
+            self.split, "vid")
+        return self._split_per_group(dd, key)
 
     def _set_instance_specific_values(self):
         self.keypoints = self.datadict.get("keypoints")
@@ -377,22 +544,57 @@ class IperDataset(VideoDataset):
         centers[0] = (r, c)
         return poke, centers, np.asarray([k], np.int32)
 
-    def _get_nn(self, ids, rng, **kw):
+    def _get_nn_index(self, ids, rng) -> int:
+        """Precomputed keypoint-NN retrieval (reference flow_dataset.py:513
+        ``nn_ids`` from ``meta_kp_nn.p``); random-other-video fallback when
+        pose prep hasn't run."""
         if self.kp_nn is None:
-            raise NotImplementedError("meta has no kp_nn (run pose prep)")
-        return np.asarray(self.kp_nn[ids[0]], np.int64)
+            return super()._get_nn_index(ids, rng)
+        return int(self.kp_nn[ids[0]])
 
 
 class TaichiDataset(VideoDataset):
+    """TaiChi-HD (reference flow_dataset.py:354-371): grabCut-filtered pokes
+    (flow_cutoff 0.1), subsample 2, flag split, no object weighting."""
+
     subsample_step = 2
+    flow_cutoff = 0.1
+    filter_flow_default = True
+    use_flow_for_weights = False
+    default_lag = 1
 
 
 class Human36mDataset(VideoDataset):
+    """Human3.6m (reference flow_dataset.py:564-604): official actor split
+    (subjects 9/11 = test, encoded as the meta ``train`` flag by
+    data/human36m_preprocess.py), lanczos resize, flow-magnitude masks."""
+
     subsample_step = 2
+    flow_cutoff = 0.3
+    use_flow_for_weights = True
+    use_lanczos = True
+    default_lag = 1
+
+    def _make_split(self, dd):
+        if self.split == "gui":  # reference :605-620
+            return self._split_per_group(dd, "vid")
+        return super()._make_split(dd)  # 'official' = actor train flag
+
+    def _select_lag(self):
+        """Reference :124-127: h36m flows are stored per subsample step —
+        lag 0 for subsample 1, lag 1 for subsample 2."""
+        n_cols = self.datadict["flow_paths"].shape[1]
+        self.valid_lags = [min(0 if self.subsample_step == 1 else 1,
+                               n_cols - 1)]
 
 
 class VegetationDataset(PlantDataset):
-    pass
+    """Reference flow_dataset.py:323-351: flag split, no poke filtering,
+    flow_cutoff 0.3."""
+
+    flow_cutoff = 0.3
+    filter_flow_default = False
+    default_lag = 0
 
 
 __datasets__ = {

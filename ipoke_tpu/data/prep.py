@@ -51,6 +51,18 @@ def _farneback(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
 register_flow_estimator("farneback", _farneback)
 
 
+def _raft(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
+    """Learned RAFT estimator (lazy import; replaces the reference's
+    FlowNet2 CUDA stack, utils/flownet_loader.py:13-77).  Set
+    ``IPOKE_RAFT_WEIGHTS`` to an official-checkpoint npz for real flow."""
+    from ..nn.raft import raft_estimator
+
+    return raft_estimator(img1, img2)
+
+
+register_flow_estimator("raft", _raft)
+
+
 def extract_video(
     video_path: str, out_dir: str, flow_delta: int = 10,
     spatial_size: Optional[int] = None, estimator: str = "farneback",
@@ -164,7 +176,7 @@ def pose_estimation(processed_dir: str, meta_path: Optional[str] = None,
     meta_path = meta_path or os.path.join(processed_dir, "meta.p")
     with open(meta_path, "rb") as f:
         meta = pickle.load(f)
-    est = PoseEstimator(params=pose_params, input_size=input_size)
+    est = PoseEstimator(variables=pose_params, input_size=input_size)
     paths = [os.path.join(processed_dir, str(p)) for p in meta["img_path"]]
     kps_all = []
     for i in range(0, len(paths), batch_size):
