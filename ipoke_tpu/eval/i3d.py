@@ -108,6 +108,14 @@ class I3D(nn.Module):
 
 
 def init_i3d_params(seed: int = 0, spatial: int = 64, frames: int = 10):
+    """Fixed-seed variables, or real kinetics weights when
+    ``IPOKE_I3D_WEIGHTS`` points at a converted npz (upgrades both the
+    in-training FVD monitor and the --test fvd mode)."""
+    import os
+
+    wpath = os.environ.get("IPOKE_I3D_WEIGHTS")
+    if wpath:
+        return load_torch_i3d_npz(wpath)
     model = I3D()
     x = jnp.zeros((1, frames, spatial, spatial, 3))
     return model.init(jax.random.PRNGKey(seed), x)
@@ -145,14 +153,45 @@ def load_torch_i3d_npz(path: str):
             node = node.setdefault(k, {})
         node[path_keys[-1]] = jnp.asarray(leaf)
 
+    # torch Mixed uses Sequential branches (branch_1.0, branch_1.1, ...,
+    # metrics.py:1028-1054); our flax Mixed names them branch_1a/branch_1b
+    branch_map = {("branch_1", "0"): "branch_1a",
+                  ("branch_1", "1"): "branch_1b",
+                  ("branch_2", "0"): "branch_2a",
+                  ("branch_2", "1"): "branch_2b",
+                  ("branch_3", "1"): "branch_3b"}
+
+    def rename(parts):
+        out = []
+        i = 0
+        while i < len(parts):
+            if i + 1 < len(parts) and (parts[i], parts[i + 1]) in branch_map:
+                out.append(branch_map[(parts[i], parts[i + 1])])
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        return out
+
     for key, val in raw.items():
-        parts = key.split(".")
+        parts = rename(key.split("."))
+        if parts[0] == "conv3d_0c_1x1":
+            # reference head: 1x1x1 conv (with bias, no BN) == our Dense
+            # 'logits' over the pooled features (metrics.py:1155-1168)
+            if parts[-1] == "weight":
+                put(params, ["logits", "kernel"],
+                    np.transpose(val[:, :, 0, 0, 0], (1, 0)))
+            elif parts[-1] == "bias":
+                put(params, ["logits", "bias"], val)
+            continue
         if parts[-2] == "conv3d" and parts[-1] == "weight":
             w = np.transpose(val, (2, 3, 4, 1, 0))  # OIkTkHkW -> kTkHkWIO
             put(params, parts[:-1] + ["kernel"], w)
         elif parts[-2] == "conv3d" and parts[-1] == "bias":
             put(params, parts[:-1] + ["bias"], val)
         elif parts[-2] == "batch3d":
+            if parts[-1] == "num_batches_tracked":
+                continue
             name = {"weight": "scale", "bias": "bias"}.get(parts[-1])
             if name:
                 put(params, parts[:-1] + [name], val)

@@ -1,18 +1,20 @@
 """Pose estimation for keypoint metrics and iPER metadata.
 
 JAX port of the reference's vendored SimpleBaselines pose-ResNet inference
-(``models/pose_estimator/lib/models/pose_resnet.py``: ResNet backbone + 3
-transpose-conv layers + 1x1 head -> K heatmaps) and the heatmap decoding
-``get_max_preds`` (``lib/core/inference.py``), used by
-``utils/posenet_wrapper.py`` for the keypoint accuracy metrics and by data
-prep for iPER keypoint/NN metadata.  Candidate suppression uses the native
-OKS NMS (``ipoke_tpu.ops.native``) instead of the reference's Cython/CUDA
-kernels.
+(``models/pose_estimator/lib/models/pose_resnet.py``: torch-BatchNorm ResNet
+bottleneck backbone + 3 ConvTranspose(k4,s2,p1) deconv layers + 1x1 head ->
+K heatmaps) and the heatmap decoding ``get_max_preds``
+(``lib/core/inference.py``), used by ``utils/posenet_wrapper.py`` for the
+keypoint accuracy metrics and by data prep for iPER keypoint/NN metadata.
+Candidate suppression uses the native OKS NMS (``ipoke_tpu.ops.native``)
+instead of the reference's Cython/CUDA kernels.
 
-Weights: the reference loads pose_resnet152 COCO weights; without them the
-net is fixed-seed random — keypoint *machinery* (decoding, NN metadata,
-metric plumbing) is exact, absolute keypoint quality requires converted
-weights via ``load_torch_pose_resnet_npz``.
+The backbone uses frozen inference-mode BatchNorm (running stats as
+``batch_stats`` leaves, like ``eval/i3d.py``) so the reference's
+pose_resnet152 COCO weights drop in unchanged via
+``load_torch_pose_resnet_npz`` (oracle heatmap parity:
+tests/test_pose.py::test_pose_resnet_torch_parity).  Without a weight file
+the net is fixed-seed random — the keypoint *machinery* stays exact.
 """
 
 from __future__ import annotations
@@ -24,55 +26,75 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+_BN = dict(use_running_average=True, epsilon=1e-5)
+
 
 class _Bottleneck(nn.Module):
+    """torch Bottleneck (pose_resnet.py:62-105): 1x1 -> 3x3(stride) -> 1x1
+    with BN after each conv; 1x1-BN downsample when shape changes."""
+
     planes: int
     stride: int = 1
+    downsample: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        c_in = x.shape[-1]
-        out_c = self.planes * 4
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        h = jax.nn.relu(nn.GroupNorm(num_groups=min(16, self.planes))(h))
-        h = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, dtype=self.dtype)(h)
-        h = jax.nn.relu(nn.GroupNorm(num_groups=min(16, self.planes))(h))
-        h = nn.Conv(out_c, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=16)(h)
-        if self.stride != 1 or c_in != out_c:
-            x = nn.Conv(out_c, (1, 1), strides=self.stride, use_bias=False,
-                        dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=16)(x)
-        return jax.nn.relu(h + x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        out = jax.nn.relu(nn.BatchNorm(**_BN, name="bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = jax.nn.relu(nn.BatchNorm(**_BN, name="bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv3")(out)
+        out = nn.BatchNorm(**_BN, name="bn3")(out)
+        residual = x
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = nn.BatchNorm(**_BN, name="downsample_bn")(residual)
+        return jax.nn.relu(out + residual)
 
 
 class PoseResNet(nn.Module):
-    """ResNet-C4 backbone + deconv head -> (B, H/4, W/4, n_joints) heatmaps."""
+    """Weight-compatible SimpleBaselines pose net: ResNet bottleneck backbone
+    + deconv head -> (B, H/4, W/4, n_joints) heatmaps.
+
+    layers (3,8,36,3) = the reference's pose_resnet152
+    (config/posenet.yaml: NUM_LAYERS 152, 3 deconvs of 256 k4, final k1)."""
 
     n_joints: int = 17
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50; (3,8,36,3) = resnet152
     deconv_channels: int = 256
+    n_deconv: int = 3
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype)(x)
-        h = jax.nn.relu(nn.GroupNorm(num_groups=16)(h))
+                    dtype=self.dtype, name="conv1")(x)
+        h = jax.nn.relu(nn.BatchNorm(**_BN, name="bn1")(h))
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, (planes, n) in enumerate(zip((64, 128, 256, 512), self.layers)):
-            stride = 1 if i == 0 else 2
-            h = _Bottleneck(planes, stride, dtype=self.dtype)(h)
-            for _ in range(n - 1):
-                h = _Bottleneck(planes, dtype=self.dtype)(h)
-        for _ in range(3):
-            h = nn.ConvTranspose(self.deconv_channels, (4, 4), strides=(2, 2),
-                                 padding="SAME", use_bias=False,
-                                 dtype=self.dtype)(h)
-            h = jax.nn.relu(nn.GroupNorm(num_groups=16)(h))
-        return nn.Conv(self.n_joints, (1, 1), dtype=self.dtype)(h)
+            for j in range(n):
+                stride = 2 if (i > 0 and j == 0) else 1
+                down = j == 0  # first block always projects (64 -> 256 too)
+                h = _Bottleneck(planes, stride, downsample=down,
+                                dtype=self.dtype,
+                                name=f"layer{i + 1}_{j}")(h)
+        for m in range(self.n_deconv):
+            # torch ConvTranspose2d(k4, s2, p1, op0) == flax VALID transpose
+            # + crop 1 px on every side (proven in tests/test_pose.py)
+            h = nn.ConvTranspose(
+                self.deconv_channels, (4, 4), strides=(2, 2),
+                padding="VALID", transpose_kernel=True, use_bias=False,
+                dtype=self.dtype, name=f"deconv{m}")(h)
+            h = h[:, 1:-1, 1:-1, :]
+            h = jax.nn.relu(nn.BatchNorm(**_BN, name=f"deconv_bn{m}")(h))
+        return nn.Conv(self.n_joints, (1, 1), dtype=self.dtype,
+                       name="final")(h)
 
 
 def get_max_preds(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -94,20 +116,21 @@ class PoseEstimator:
     coordinates of the input frame (reference ``utils/posenet_wrapper.py``)."""
 
     def __init__(self, n_joints: int = 17, seed: int = 0,
-                 params: Optional[Any] = None, input_size: int = 64):
-        self.model = PoseResNet(n_joints=n_joints)
+                 variables: Optional[Any] = None, input_size: int = 64,
+                 layers: Sequence[int] = (3, 4, 6, 3)):
+        self.model = PoseResNet(n_joints=n_joints, layers=tuple(layers))
         self.input_size = input_size
-        if params is None:
-            params = self.model.init(
+        if variables is None:
+            variables = self.model.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, input_size, input_size, 3)))
-        self.params = params
-        self._fn = jax.jit(lambda p, x: self.model.apply(p, x))
+        self.variables = variables
+        self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
 
     def __call__(self, frames: jnp.ndarray) -> np.ndarray:
         """frames (B, H, W, 3) -> keypoints (B, K, 2) in (x, y) pixels."""
         H = frames.shape[1]
-        hm = self._fn(self.params, frames)
+        hm = self._fn(self.variables, frames)
         coords, _ = get_max_preds(hm)
         scale = H / hm.shape[1]
         return np.asarray(coords) * scale
@@ -133,11 +156,77 @@ def keypoint_nearest_neighbors(kps: np.ndarray, exclude_same: np.ndarray
     return np.argmin(d, axis=1)
 
 
-def load_torch_pose_resnet_npz(path: str):
-    """Placeholder converter for dumped torch pose-resnet weights; mirrors the
-    VGG/I3D converters (the GroupNorm-based JAX backbone differs from the
-    torch BatchNorm one, so this maps conv kernels only and is best-effort)."""
-    raise NotImplementedError(
-        "provide converted weights or retrain; see eval/i3d.py for the "
-        "conversion pattern"
-    )
+# ---------------------------------------------------------------------------
+# torch weight conversion
+# ---------------------------------------------------------------------------
+
+def _conv_w(w):  # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _convT_w(w):  # torch (in, out, kh, kw) -> flax transpose_kernel (kh, kw, out, in)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def convert_torch_pose_resnet(state: dict, layers: Sequence[int],
+                              n_deconv: int = 3) -> dict:
+    """torch pose_resnet state_dict (numpy leaves) -> flax variables
+    {params, batch_stats}; key layout per pose_resnet.py."""
+    P, S = {}, {}
+
+    def bn(dst, src):
+        P[dst] = {"scale": np.asarray(state[f"{src}.weight"]),
+                  "bias": np.asarray(state[f"{src}.bias"])}
+        S[dst] = {"mean": np.asarray(state[f"{src}.running_mean"]),
+                  "var": np.asarray(state[f"{src}.running_var"])}
+
+    P["conv1"] = {"kernel": _conv_w(state["conv1.weight"])}
+    bn("bn1", "bn1")
+    for i, n in enumerate(layers):
+        for j in range(n):
+            t = f"layer{i + 1}.{j}"
+            d = f"layer{i + 1}_{j}"
+            blk = {f"conv{k}": {"kernel": _conv_w(state[f"{t}.conv{k}.weight"])}
+                   for k in (1, 2, 3)}
+            blk_s = {}
+            for k in (1, 2, 3):
+                blk[f"bn{k}"] = {
+                    "scale": np.asarray(state[f"{t}.bn{k}.weight"]),
+                    "bias": np.asarray(state[f"{t}.bn{k}.bias"])}
+                blk_s[f"bn{k}"] = {
+                    "mean": np.asarray(state[f"{t}.bn{k}.running_mean"]),
+                    "var": np.asarray(state[f"{t}.bn{k}.running_var"])}
+            if f"{t}.downsample.0.weight" in state:
+                blk["downsample_conv"] = {
+                    "kernel": _conv_w(state[f"{t}.downsample.0.weight"])}
+                blk["downsample_bn"] = {
+                    "scale": np.asarray(state[f"{t}.downsample.1.weight"]),
+                    "bias": np.asarray(state[f"{t}.downsample.1.bias"])}
+                blk_s["downsample_bn"] = {
+                    "mean": np.asarray(
+                        state[f"{t}.downsample.1.running_mean"]),
+                    "var": np.asarray(state[f"{t}.downsample.1.running_var"])}
+            P[d] = blk
+            S[d] = blk_s
+    for m in range(n_deconv):
+        P[f"deconv{m}"] = {
+            "kernel": _convT_w(state[f"deconv_layers.{3 * m}.weight"])}
+        bn(f"deconv_bn{m}", f"deconv_layers.{3 * m + 1}")
+    P["final"] = {"kernel": _conv_w(state["final_layer.weight"]),
+                  "bias": np.asarray(state["final_layer.bias"])}
+    return {"params": P, "batch_stats": S}
+
+
+def load_torch_pose_resnet_npz(path: str, layers: Sequence[int] = (3, 8, 36, 3)
+                               ) -> dict:
+    """Load a dumped torch pose-resnet state_dict (.npz; produce with
+    tools/convert_torch_checkpoint.py) -> flax variables.
+
+    Acquisition recipe (no egress here): download the reference's COCO
+    pose_resnet152 checkpoint per its README, then
+    ``python tools/convert_torch_checkpoint.py --ckpt pose_resnet_152.pth
+    --out pose_resnet_152.npz`` on any machine with torch, and point
+    ``IPOKE_POSE_WEIGHTS`` at the npz."""
+    raw = np.load(path)
+    state = {k: raw[k] for k in raw.files}
+    return convert_torch_pose_resnet(state, layers)

@@ -25,4 +25,6 @@ from .encoders import (
     SpadeCondConvDecoder,
 )
 from .gru import ConvGRU, ConvGRUCell
+from .lpips import init_lpips_params, load_torch_lpips_npz, lpips
 from .motion import BasicBlock3d, ResNetMotionEncoder
+from .raft import RAFT, RAFTConfig, load_torch_raft_npz, raft_estimator

@@ -20,22 +20,30 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-# (out_channels, n_convs) per VGG19 block
-_CFG = ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4))
+# (out_channels, n_convs) per VGG19 block, truncated at conv5_1 — the last
+# tap the reference uses (losses.py slices end at feature idx 29); convs
+# past relu5_1 would be dead compute and their weights aren't in the
+# reference's VGG state_dict
+_CFG = ((64, 2), (128, 2), (256, 4), (512, 4), (512, 1))
 
 
 class VGG19Features(nn.Module):
-    """Returns the 5 tap activations for input in [-1, 1], NHWC."""
+    """Returns the 5 tap activations for input in [-1, 1], NHWC.
+
+    ``imagenet_norm=False`` by default: the reference's VGG.forward feeds the
+    [-1, 1] input straight into vgg19 (its ``normalize`` is commented out,
+    losses.py:31-40) — kept exact for checkpoint/loss parity."""
 
     dtype: Any = None
+    imagenet_norm: bool = False
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
-        # to imagenet-ish normalization ([-1,1] -> [0,1] -> standardized)
-        x = (x + 1.0) * 0.5
-        mean = jnp.asarray([0.485, 0.456, 0.406], x.dtype)
-        std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
-        x = (x - mean) / std
+        if self.imagenet_norm:
+            x = (x + 1.0) * 0.5
+            mean = jnp.asarray([0.485, 0.456, 0.406], x.dtype)
+            std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
+            x = (x - mean) / std
         taps = []
         for b, (ch, n_convs) in enumerate(_CFG):
             for c in range(n_convs):
@@ -46,11 +54,21 @@ class VGG19Features(nn.Module):
                 x = jax.nn.relu(x)
                 if c == 0:
                     taps.append(x)  # relu{b}_1
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if b < len(_CFG) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return taps
 
 
 def init_vgg_params(seed: int = 0, dtype=jnp.float32):
+    """Fixed-seed params, or real torchvision weights when
+    ``IPOKE_VGG_WEIGHTS`` points at a converted npz (every call site —
+    training perceptual loss, accuracy/diversity test modes — upgrades
+    automatically)."""
+    import os
+
+    wpath = os.environ.get("IPOKE_VGG_WEIGHTS")
+    if wpath:
+        return load_torch_vgg19_npz(wpath)
     model = VGG19Features()
     dummy = jnp.zeros((1, 64, 64, 3), dtype)
     return model.init(jax.random.PRNGKey(seed), dummy)

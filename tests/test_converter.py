@@ -42,7 +42,7 @@ def test_vgg_npz_loader_shapes(tmp_path):
     np.savez(p, **state)
     params = load_torch_vgg19_npz(p)
     assert params["params"]["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
-    assert params["params"]["conv5_4"]["kernel"].shape == (3, 3, 512, 512)
+    assert params["params"]["conv5_1"]["kernel"].shape == (3, 3, 512, 512)
 
     # the loaded params drive the feature net
     import jax

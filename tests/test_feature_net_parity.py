@@ -1,0 +1,121 @@
+"""Oracle parity for the perceptual/eval feature nets' weight-port paths:
+
+* VGG19 feature taps + VGGLoss vs the reference's ``utils/losses.py`` VGG
+  (run in torch with an inline torchvision-vgg19 replica, random weights);
+* I3D logits vs the reference's torch I3D (``utils/metrics.py:879-1171``,
+  exec'd standalone since the file's other imports are unavailable).
+
+Proving the torch->npz->flax conversion is what makes real pretrained
+weights (torchvision vgg19 / kinetics i3d) drop-in (VERDICT r1 #2/#7).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference repo not mounted",
+)
+
+
+def test_vgg19_feature_and_loss_parity(tmp_path):
+    from _fake_torchvision import install_fake_torchvision
+
+    sys.path.insert(0, REF)
+    install_fake_torchvision()
+    import torch
+
+    from utils.losses import VGG, fmap_loss
+
+    torch.manual_seed(0)
+    net = VGG(requires_grad=False)
+    net.eval()
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, size=(2, 3, 64, 64))).astype(np.float32)
+    y = (rng.uniform(-1, 1, size=(2, 3, 64, 64))).astype(np.float32)
+    with torch.no_grad():
+        taps_ref = [t.numpy() for t in net(torch.from_numpy(x))]
+        # VGGLoss(weighted=False).forward == fmap_loss(vgg(x), vgg(y), 'l1')
+        # (losses.py:75-83; VGGLoss itself hardcodes .cuda())
+        loss_ref = float(fmap_loss(net(torch.from_numpy(x)),
+                                   net(torch.from_numpy(y)), loss="l1"))
+
+    # dump in torchvision features layout, convert, compare
+    state = {}
+    slice_offsets = {"slice1": 0, "slice2": 0, "slice3": 0, "slice4": 0,
+                     "slice5": 0}
+    for k, v in net.state_dict().items():
+        # keys like slice2.5.weight -> features.5.weight
+        _, idx, leaf = k.split(".")
+        state[f"features.{idx}.{leaf}"] = v.numpy()
+    npz = str(tmp_path / "vgg19.npz")
+    np.savez(npz, **state)
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.vgg import VGG19Features, load_torch_vgg19_npz, vgg_loss
+
+    params = load_torch_vgg19_npz(npz)
+    taps = VGG19Features().apply(
+        params, jnp.asarray(np.moveaxis(x, 1, -1)))
+    for got, ref in zip(taps, taps_ref):
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(got), -1, 1), ref, atol=1e-4)
+    loss = float(vgg_loss(params, jnp.asarray(np.moveaxis(x, 1, -1)),
+                          jnp.asarray(np.moveaxis(y, 1, -1))))
+    np.testing.assert_allclose(loss, loss_ref, rtol=1e-4)
+
+
+def _load_ref_i3d_classes():
+    """exec the self-contained I3D block of utils/metrics.py (:879-1171);
+    the module itself imports pytorch_lightning/lpips, unavailable here."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    src = open(os.path.join(REF, "utils/metrics.py")).read()
+    start = src.index("def get_padding_shape")
+    end = src.index("def compute_fvd")
+    ns = {"torch": torch, "F": F, "np": np, "math": math}
+    exec(compile(src[start:end], "ref_i3d", "exec"), ns)
+    return ns["I3D"]
+
+
+def test_i3d_logits_parity(tmp_path):
+    sys.path.insert(0, REF)
+    import torch
+
+    I3DRef = _load_ref_i3d_classes()
+    torch.manual_seed(0)
+    net = I3DRef(num_classes=11)
+    # randomize BN running stats to actually test frozen-BN conversion
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.2)
+    net.eval()
+    rng = np.random.default_rng(0)
+    # reference preprocessing resizes to 224^2 (metrics.py:851-867); its
+    # fixed AvgPool3d(2,7,7) head requires exactly that
+    x = rng.uniform(-1, 1, size=(1, 3, 10, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        _, logits_ref = net(torch.from_numpy(x))
+
+    state = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    npz = str(tmp_path / "i3d.npz")
+    np.savez(npz, **state)
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.eval.i3d import I3D, load_torch_i3d_npz
+
+    variables = load_torch_i3d_npz(npz)
+    logits = I3D(num_classes=11).apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(np.asarray(logits), logits_ref.numpy(),
+                               atol=5e-3, rtol=1e-3)

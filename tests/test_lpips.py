@@ -1,0 +1,97 @@
+"""LPIPS parity: the JAX LPIPS (nn/lpips.py) vs the reference's own forward
+math (``models/modules/autoencoders/LPIPS.py`` components run in torch) with
+a ported state_dict — proving the torch->npz->flax weight path so the real
+``vgg_lpips`` checkpoint drops in.  torchvision is absent in this image, so
+the test injects a faithful in-line replica of ``torchvision.models.vgg16``
+(standard feature layout; random weights — porting correctness is what must
+be proven, VERDICT r1 #7)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference repo not mounted",
+)
+
+
+@pytest.mark.parametrize("channels", [3, 2])
+def test_lpips_torch_parity(channels, tmp_path):
+    from _fake_torchvision import install_fake_torchvision
+
+    sys.path.insert(0, REF)
+    install_fake_torchvision()
+    import torch
+    import torch.nn.functional as F
+
+    from models.modules.autoencoders.vgg16 import (
+        normalize_tensor,
+        spatial_average,
+        vgg16 as ref_vgg16,
+    )
+    from models.modules.autoencoders.LPIPS import NetLinLayer, ScalingLayer
+
+    torch.manual_seed(0)
+    chns = [64, 128, 256, 512, 512]
+    net = ref_vgg16(pretrained=False, requires_grad=False)
+    lins = [NetLinLayer(c, use_dropout=True) for c in chns]
+    for lin in lins:
+        torch.nn.init.uniform_(lin.model[1].weight, 0.0, 0.1)
+        lin.eval()
+    scaling = ScalingLayer()
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(2, channels, 64, 64)).astype(np.float32) * 0.5
+    b = rng.normal(size=(2, channels, 64, 64)).astype(np.float32) * 0.5
+
+    def ref_forward(x, y):
+        # reference LPIPS.forward (:44-60), run with its own components
+        if x.shape[1] == 2:
+            x = F.pad(x, (0, 0, 0, 0, 0, 1))
+            y = F.pad(y, (0, 0, 0, 0, 0, 1))
+        o0, o1 = net(scaling(x)), net(scaling(y))
+        val = 0
+        for kk in range(len(chns)):
+            d = (normalize_tensor(o0[kk]) - normalize_tensor(o1[kk])) ** 2
+            val = val + spatial_average(lins[kk].model(d), keepdim=True)
+        return val
+
+    with torch.no_grad():
+        ref = ref_forward(torch.from_numpy(a),
+                          torch.from_numpy(b)).numpy().reshape(-1)
+
+    # dump the reference state in the real LPIPS checkpoint layout
+    state = {f"net.{k}": v.detach().numpy()
+             for k, v in net.state_dict().items()}
+    for k, lin in enumerate(lins):
+        state[f"lin{k}.model.1.weight"] = lin.model[1].weight.detach().numpy()
+    npz = str(tmp_path / "lpips.npz")
+    np.savez(npz, **state)
+
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.lpips import load_torch_lpips_npz, lpips
+
+    params = load_torch_lpips_npz(npz)
+    got = np.asarray(lpips(
+        params,
+        jnp.asarray(np.moveaxis(a, 1, -1)),
+        jnp.asarray(np.moveaxis(b, 1, -1))))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_lpips_random_init_runs():
+    import jax.numpy as jnp
+
+    from ipoke_tpu.nn.lpips import init_lpips_params, lpips
+
+    params = init_lpips_params(0)
+    a = jnp.zeros((2, 32, 32, 3))
+    b = jnp.ones((2, 32, 32, 3)) * 0.5
+    d = np.asarray(lpips(params, a, b))
+    assert d.shape == (2,) and (d > 0).all()
+    assert np.allclose(np.asarray(lpips(params, a, a)), 0.0, atol=1e-6)
