@@ -198,3 +198,181 @@ class HierarchicalCouplingFlow(Flow):
             out = jnp.concatenate([out, z2], axis=-1)
             out = chain.inverse(p, out, h)
         return out
+
+
+# ---------------------------------------------------------------------------
+# MADE — masked autoregressive MLP (reference ARFullyConnectedNet,
+# modules.py:502-597; dormant in the reference's live experiments)
+# ---------------------------------------------------------------------------
+
+def made_masks(nin: int, hidden_sizes, nout: int, seed: int = 0,
+               natural_ordering: bool = True):
+    """Connectivity masks per layer (Germain et al. 2015; exactly the
+    reference's ``update_masks`` construction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    m = {-1: (np.arange(nin) if natural_ordering
+              else rng.permutation(nin))}
+    for l, h in enumerate(hidden_sizes):
+        m[l] = rng.randint(m[l - 1].min(), nin - 1, size=h)
+    L = len(hidden_sizes)
+    masks = [m[l - 1][:, None] <= m[l][None, :] for l in range(L)]
+    masks.append(m[L - 1][:, None] < m[-1][None, :])
+    if nout > nin:
+        k = nout // nin
+        masks[-1] = np.concatenate([masks[-1]] * k, axis=1)
+    return [jnp.asarray(mk.astype(np.float32)) for mk in masks]
+
+
+@dataclasses.dataclass(frozen=True)
+class MADE:
+    """Autoregressive MLP: output chunk j depends only on inputs < j (under
+    the ordering).  Optional conditioning net added layerwise like the
+    reference's ``condnet`` (modules.py:583-589)."""
+
+    nin: int
+    hidden_sizes: Tuple[int, ...]
+    nout: int
+    ncond: int = 0
+    natural_ordering: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        assert self.nout % self.nin == 0
+
+    def _masks(self):
+        return made_masks(self.nin, list(self.hidden_sizes), self.nout,
+                          self.seed, self.natural_ordering)
+
+    def init(self, rng):
+        dims = [self.nin] + list(self.hidden_sizes) + [self.nout]
+        ws = []
+        for i, (d0, d1) in enumerate(zip(dims, dims[1:])):
+            rng, k = jax.random.split(rng)
+            scale = 1.0 / jnp.sqrt(d0)
+            ws.append({"w": scale * jax.random.normal(k, (d0, d1)),
+                       "b": jnp.zeros((d1,))})
+        params = {"net": ws}
+        if self.ncond > 0:
+            cdims = [self.ncond] + list(self.hidden_sizes) + [self.nout]
+            cs = []
+            for d0, d1 in zip(cdims, cdims[1:]):
+                rng, k = jax.random.split(rng)
+                cs.append({"w": jax.random.normal(k, (d0, d1))
+                           / jnp.sqrt(d0), "b": jnp.zeros((d1,))})
+            params["cond"] = cs
+        return params
+
+    def apply(self, params, x, y=None):
+        masks = self._masks()
+        h, hc = x, y
+        for i, (lyr, mk) in enumerate(zip(params["net"], masks)):
+            if i > 0:
+                h = jax.nn.relu(h)
+                if hc is not None:
+                    hc = jax.nn.relu(hc)
+            out = h @ (lyr["w"] * mk) + lyr["b"]
+            if self.ncond > 0:
+                c = params["cond"][i]
+                hc_out = hc @ c["w"] + c["b"]
+                out = out + hc_out
+                hc = hc_out
+            h = out
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Gated conv / gated attention (reference GatedConv2d /
+# GatedAttentionLayer, modules.py:814-910; building blocks of the dormant
+# attention-flow variants) — NHWC
+# ---------------------------------------------------------------------------
+
+def concat_elu(x):
+    """ConcatELU (doubles channels)."""
+    return jnp.concatenate([jax.nn.elu(x), jax.nn.elu(-x)], axis=-1)
+
+
+def _gate(x):
+    a, b = jnp.split(x, 2, axis=-1)
+    return a * jax.nn.sigmoid(b)
+
+
+@dataclasses.dataclass(frozen=True)
+class GatedConv2d:
+    """x + gate(conv(concat_elu(conv(concat_elu(x)) [+ cond])))."""
+
+    dim: int
+    dim_cond: int = 0
+    dim_out: int = 0  # 0 -> same as dim
+
+    @property
+    def _out(self):
+        return self.dim_out or self.dim
+
+    def init(self, rng):
+        ks = jax.random.split(rng, 4)
+
+        def cv(k, kh, kw, cin, cout):
+            return {"w": _conv_init(k, kh, kw, cin, cout),
+                    "b": jnp.zeros((cout,))}
+
+        p = {
+            "conv1": cv(ks[0], 3, 3, 2 * self.dim, self.dim),
+            "conv2": cv(ks[1], 3, 3, 2 * self.dim, 2 * self._out),
+        }
+        if self.dim_cond:
+            p["cond_conv"] = cv(ks[2], 3, 3, 2 * self.dim_cond, self.dim)
+        if self.dim_out:
+            p["conv_sc"] = cv(ks[3], 1, 1, self.dim, self._out)
+        return p
+
+    def apply(self, params, x, xc=None):
+        def conv(p, a):
+            return jax.lax.conv_general_dilated(
+                a, p["w"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
+
+        c1 = conv(params["conv1"], concat_elu(x))
+        sc = conv(params["conv_sc"], x) if self.dim_out else x
+        if self.dim_cond:
+            c1 = c1 + conv(params["cond_conv"], concat_elu(xc))
+        c2 = conv(params["conv2"], concat_elu(c1))
+        return sc + _gate(c2)
+
+
+@dataclasses.dataclass(frozen=True)
+class GatedAttention:
+    """x + gate(proj2(MHSA(x + pos_emb))) over the H*W token grid (one
+    batched matmul pair on the MXU)."""
+
+    channels: int
+    heads: int
+
+    def __post_init__(self):
+        assert self.channels % self.heads == 0
+
+    def init(self, rng, spatial: Tuple[int, int]):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        c = self.channels
+        return {
+            "proj1": {"w": jax.random.normal(k1, (c, 3 * c)) / jnp.sqrt(c),
+                      "b": jnp.zeros((3 * c,))},
+            "proj2": {"w": jax.random.normal(k2, (c, 2 * c)) / jnp.sqrt(c),
+                      "b": jnp.zeros((2 * c,))},
+            "pos_emb": 0.02 * jax.random.normal(k3, (*spatial, c)),
+        }
+
+    def apply(self, params, x):
+        B, H, W, C = x.shape
+        d = C // self.heads
+        t = H * W
+        h = (x + params["pos_emb"]).reshape(B, t, C)
+        qkv = h @ params["proj1"]["w"] + params["proj1"]["b"]
+        qkv = qkv.reshape(B, t, 3, self.heads, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        w = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(float(d)),
+                           axis=-1)
+        a = (w @ v).transpose(0, 2, 1, 3).reshape(B, t, C)
+        out = a @ params["proj2"]["w"] + params["proj2"]["b"]
+        return x + _gate(out.reshape(B, H, W, 2 * C))

@@ -159,3 +159,31 @@ def adaptive_disc_weight(nll_grad_norm, g_grad_norm, max_w=1e4):
     (reference disc_utils.py:10-22): ||grad(nll)|| / (||grad(g)|| + 1e-4)."""
     w = nll_grad_norm / (g_grad_norm + 1e-4)
     return jnp.clip(w, 0.0, max_w)
+
+
+class MinibatchDiscrimination(nn.Module):
+    """Salimans et al. minibatch features (reference
+    ``models/modules/discriminators/disc_utils.py:36-62``; constructed but
+    unused in the reference's live training path): per-sample kernel
+    similarities to the rest of the batch, concatenated onto the features.
+
+    x (B, A) -> (B, A + out_features)."""
+
+    in_features: int
+    out_features: int
+    kernel_dims: int
+    mean: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(-1, self.in_features)
+        T = self.param(
+            "T", lambda k, s: jax.random.normal(k, s),
+            (self.in_features, self.out_features, self.kernel_dims))
+        m = x @ T.reshape(self.in_features, -1)
+        m = m.reshape(-1, self.out_features, self.kernel_dims)
+        norm = jnp.sum(jnp.abs(m[None] - m[:, None]), axis=3)  # (B, B, F)
+        o_b = jnp.sum(jnp.exp(-norm), axis=0) - 1.0  # subtract self distance
+        if self.mean:
+            o_b = o_b / (x.shape[0] - 1)
+        return jnp.concatenate([x, o_b], axis=1)

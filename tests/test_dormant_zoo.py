@@ -1,0 +1,147 @@
+"""The reference's dormant flow-zoo components, rebuilt for inventory
+completeness (VERDICT r1 missing #10): leapfrog flows, MADE, gated
+conv/attention, MinibatchDiscrimination, Sequence(Length)Sampler."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("extended", [False, True])
+def test_leapflow_roundtrip(extended):
+    """forward/inverse are exact inverses for the (x, v) pair (note: the
+    reference's OWN ExtendedLeapFrog reverse drops an exp on the q-scale —
+    flow_blocks.py:1215 — we invert exactly)."""
+    from ipoke_tpu.flows.leapfrog import LeapFlow
+
+    flow = LeapFlow(in_channels=6, hidden_dim=16, depth=1, n_flows=3,
+                    delta_t=0.7, extended=extended)
+    params = flow.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    y, w, ld = flow.forward(params, x, v)
+    assert ld.shape == (4,)
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+    x2, v2 = flow.inverse(params, y, w)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=2e-4)
+
+
+def test_extended_leapfrog_logdet_matches_autodiff():
+    """Coupling logdet == log|det d(y,w)/d(x,v)| via jacobian on the joint
+    map."""
+    from ipoke_tpu.flows.leapfrog import ExtendedLeapFrogCoupling
+
+    c = ExtendedLeapFrogCoupling(4, 12, depth=1, delta_t=0.5)
+    params = c.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 4)).astype(np.float32))
+
+    def joint(z):
+        xx, vv = z[:4][None], z[4:][None]
+        y, w, _ = c.forward(params, xx, vv)
+        return jnp.concatenate([y[0], w[0]])
+
+    J = jax.jacfwd(joint)(jnp.concatenate([x[0], v[0]]))
+    _, _, ld = c.forward(params, x, v)
+    sign, logabs = np.linalg.slogdet(np.asarray(J))
+    np.testing.assert_allclose(float(ld[0]), logabs, atol=1e-4)
+
+
+def test_made_autoregressive_property():
+    """Output chunk j must be independent of inputs >= j (natural
+    ordering) — the defining MADE property (reference ARFullyConnectedNet,
+    modules.py:502)."""
+    from ipoke_tpu.flows.extra import MADE
+
+    made = MADE(nin=5, hidden_sizes=(16, 16), nout=10)
+    params = made.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5))
+                    .astype(np.float32))
+
+    J = jax.jacfwd(lambda a: made.apply(params, a[None])[0])(x[0])
+    J = np.asarray(J).reshape(2, 5, 5)  # nout = 2*nin -> 2 chunks
+    for chunk in J:
+        for j in range(5):
+            assert np.allclose(chunk[j, j:], 0.0), (
+                f"output {j} depends on inputs >= {j}")
+
+
+def test_made_conditional_runs():
+    from ipoke_tpu.flows.extra import MADE
+
+    made = MADE(nin=4, hidden_sizes=(8,), nout=8, ncond=3)
+    params = made.init(jax.random.PRNGKey(0))
+    out = made.apply(params, jnp.ones((2, 4)), jnp.ones((2, 3)))
+    assert out.shape == (2, 8) and np.isfinite(np.asarray(out)).all()
+
+
+def test_gated_conv_and_attention():
+    from ipoke_tpu.flows.extra import GatedAttention, GatedConv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    xc = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    gc = GatedConv2d(dim=6, dim_cond=4)
+    out = gc.apply(gc.init(jax.random.PRNGKey(0)), x, xc)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    # channel-adapting variant
+    gc2 = GatedConv2d(dim=6, dim_out=10)
+    out2 = gc2.apply(gc2.init(jax.random.PRNGKey(1)), x)
+    assert out2.shape == (2, 8, 8, 10)
+
+    ga = GatedAttention(channels=6, heads=2)
+    p = ga.init(jax.random.PRNGKey(2), (8, 8))
+    out3 = ga.apply(p, x)
+    assert out3.shape == x.shape and np.isfinite(np.asarray(out3)).all()
+
+
+def test_minibatch_discrimination_detects_mode_collapse():
+    """Collapsed batches (identical samples) must yield strictly larger
+    similarity features than diverse batches."""
+    from ipoke_tpu.nn.discriminators import MinibatchDiscrimination
+
+    m = MinibatchDiscrimination(6, 4, 3)
+    v = m.init(jax.random.PRNGKey(0), jnp.ones((4, 6)))
+    rng = np.random.default_rng(0)
+    diverse = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    collapsed = jnp.broadcast_to(diverse[:1], diverse.shape)
+    fd = np.asarray(m.apply(v, diverse))[:, 6:]
+    fc = np.asarray(m.apply(v, collapsed))[:, 6:]
+    assert fc.mean() > fd.mean()
+    np.testing.assert_allclose(fc, 3.0, atol=1e-5)  # exp(0) * (B-1)
+
+
+def test_sequence_samplers():
+    from ipoke_tpu.data.samplers import (
+        SequenceLengthSampler,
+        SequenceSampler,
+    )
+
+    s = SequenceSampler(dataset_len=20, valid_lags=[0, 2], batch_size=4,
+                        seed=1)
+    batches = list(s)
+    assert len(batches) == 5
+    for b in batches:
+        lags = {lag for _, lag in b}
+        assert len(lags) == 1 and lags <= {0, 2}  # one lag per batch
+
+    sl = SequenceLengthSampler(dataset_len=12, max_frames=5, batch_size=3,
+                               zero_poke=True, zeropoke_weight=2.0,
+                               longest_seq_weight=3.0, seed=1)
+    seen = set()
+    for b in sl:
+        nfs = {nf for _, nf in b}
+        assert len(nfs) == 1  # one length per batch
+        seen |= nfs
+    assert seen <= set(range(-1, 5))
+    # deterministic under (seed, epoch)
+    assert [b for b in sl] == [b for b in sl]
+    sl.set_epoch(1)
+    assert [b for b in sl] != list(iter(SequenceLengthSampler(
+        dataset_len=12, max_frames=5, batch_size=3, zero_poke=True,
+        zeropoke_weight=2.0, longest_seq_weight=3.0, seed=1)))
