@@ -106,6 +106,7 @@ class VideoDataset:
             self.use_flow_for_weights = bool(config["use_flow_for_weights"])
         self.split = config.get("split", "official")
         self.filter_proc = config.get("filter", "all")
+        self.fancy_aug = bool(config.get("fancy_aug", False))
         self.augment = bool(config.get("augment", False)) and train
         self.normalize_01 = bool(config.get("01_normalize", False))
         self.max_trials_flow_load = 50
@@ -254,17 +255,32 @@ class VideoDataset:
         )
         return img
 
-    def _get_imgs(self, ids, rng, color_t=None, geom_t=None):
+    def _get_imgs(self, ids, rng, color_t=None, geom_t=None,
+                  fb_aug: bool = False):
+        """fb_aug = the reference's ``fancy_aug``/``use_fb_aug``
+        (base_dataset.py:405-440): on the first and last frames, the
+        BACKGROUND (outside the grabCut foreground mask of the start frame)
+        gets an independently-sampled color transform — appearance
+        disentanglement without touching the moving subject."""
         start, length = ids
         frame_ids = [
             start + i * self.subsample_step for i in range(self.max_frames + 1)
         ]
         frame_ids = [min(f, int(self.seq_end_id[start])) for f in frame_ids]
+        fg_mask = None
+        if fb_aug:
+            fg_mask = compute_grabcut_mask(
+                self._load_img(self.datadict["img_path"][frame_ids[0]]))
         frames = []
-        for f in frame_ids:
+        for i, f in enumerate(frame_ids):
             img = self._load_img(self.datadict["img_path"][f])
             if color_t is not None:
                 img = color_t(img)
+            if fb_aug and (i == 0 or i == len(frame_ids) - 1):
+                bt = self.color_aug.sample(rng) if self.color_aug else None
+                if bt is not None:
+                    img_back = bt(img)
+                    img = np.where(fg_mask[..., None], img, img_back)
             if geom_t is not None:
                 img = geom_t(img)
             img = img.astype(np.float32) / 255.0
@@ -401,10 +417,12 @@ class VideoDataset:
                         out[key] = self._get_transfer_img(ids, rng)
                     elif key == "img_aT":
                         # fresh color transform on this clip's frames
-                        # (reference base_dataset.py:113 — appearance aug)
+                        # (reference base_dataset.py:113 — appearance aug;
+                        # fancy_aug adds fg/bg-separated color transforms)
                         ct = (self.color_aug.sample(rng)
                               if self.color_aug else None)
-                        out[key] = self._get_imgs(ids, rng, ct, None)
+                        out[key] = self._get_imgs(ids, rng, ct, None,
+                                                  fb_aug=self.fancy_aug)
                     elif key in ("img_sT", "app_img_dis"):
                         # random same-video frame under fresh transforms
                         out[key] = self._get_sampled_img(

@@ -121,3 +121,38 @@ def test_val_split_disjoint(tmp_path):
     val_vids = set(dm.dset_val.datadict["vid"].tolist())
     assert train_vids and val_vids
     assert train_vids.isdisjoint(val_vids)
+
+
+def test_fancy_aug_recolors_background_only(tmp_path, monkeypatch):
+    """fancy_aug (reference base_dataset.py:405-440): img_aT's first/last
+    frames get an independent BACKGROUND color transform while foreground
+    pixels stay untouched."""
+    import ipoke_tpu.data.datasets as D
+
+    root = str(tmp_path / "d")
+    make_synthetic_dataset(root, n_videos=2, n_frames=10, spatial_size=32,
+                           flow_delta=4)
+    # deterministic half-image "foreground"
+    half = np.zeros((32, 32), bool)
+    half[:, :16] = True
+    monkeypatch.setattr(D, "compute_grabcut_mask", lambda img, **kw: half)
+
+    cfg = {"spatial_size": [32, 32], "max_frames": 3, "poke_size": 3,
+           "n_pokes": 1, "augment": True, "p_col": 1.0, "augment_b": 0.4,
+           "fancy_aug": True}
+    ds = D.PlantDataset(dict(cfg), ["images", "img_aT"], train=True,
+                        data_root=root)
+    rng = np.random.default_rng(0)
+    item = ds.get_item(0, rng)
+    imgs, imgs_at = item["images"], item["img_aT"]
+    assert imgs_at.shape == imgs.shape
+    # background of the first frame was re-colored vs an un-fb run
+    ds.fancy_aug = False
+    item2 = ds.get_item(0, np.random.default_rng(0))
+    at_plain = item2["img_aT"]
+    bg0 = np.abs(imgs_at[0][:, 16:] - at_plain[0][:, 16:]).max()
+    fg0 = np.abs(imgs_at[0][:, :16] - at_plain[0][:, :16]).max()
+    assert bg0 > 1e-3, "background of frame 0 must be re-colored"
+    assert fg0 < 1e-6, "foreground must be untouched"
+    # middle frames identical in both runs
+    assert np.allclose(imgs_at[1], at_plain[1])
