@@ -103,3 +103,56 @@ def tree_shardings(tree, mesh: Mesh, specs) -> Any:
         lambda s: NamedSharding(mesh, s), specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) meshes: scale past one ICI pod by adding a 'slice' axis.
+# Layout rule (scaling-book recipe): pure data parallelism over the
+# slow DCN links (one gradient all-reduce per step, latency-tolerant), all
+# tensor/model parallelism INSIDE a slice on ICI.  Batch shards over the
+# combined ('slice', 'data') super-axis.
+# ---------------------------------------------------------------------------
+
+def make_hybrid_mesh(
+    n_slices: int,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh with axes (slice, data, model).
+
+    On real multi-slice TPU deployments, uses
+    ``mesh_utils.create_hybrid_device_mesh`` so the 'slice' axis maps onto
+    DCN and (data, model) onto each slice's ICI torus.  On single-slice or
+    virtual platforms it degrades to a logical reshape — same program, same
+    collectives, validated on the CPU mesh (tests/test_parallel.py)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % (n_slices * model_parallel) == 0, (n, n_slices, model_parallel)
+    dp = n // (n_slices * model_parallel)
+    multi_slice = len({getattr(d, "slice_index", 0) for d in devices}) > 1
+    if multi_slice:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, dp, model_parallel),
+            dcn_mesh_shape=(n_slices, 1, 1),
+            devices=devices,
+        )
+    else:
+        arr = np.asarray(devices).reshape(n_slices, dp, model_parallel)
+    return Mesh(arr, ("slice", "data", "model"))
+
+
+def hybrid_batch_spec(batch) -> Any:
+    """Batch axis sharded over the (slice, data) super-axis."""
+    return jax.tree_util.tree_map(
+        lambda x: P(("slice", "data"), *([None] * (x.ndim - 1))), batch
+    )
+
+
+def shard_batch_hybrid(batch, mesh: Mesh):
+    def put(x):
+        spec = P(("slice", "data"), *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
