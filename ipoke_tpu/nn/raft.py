@@ -413,25 +413,28 @@ def synthetic_flow_batch(rng: np.random.Generator, batch: int, size: int,
             "flow": jnp.asarray(np.stack(flows))}
 
 
-def train_raft_synthetic(steps: int = 200, size: int = 64, batch: int = 4,
-                         lr: float = 2e-4, seed: int = 0,
+def train_raft_synthetic(steps: int = 400, size: int = 32, batch: int = 8,
+                         lr: float = 1e-3, seed: int = 0,
                          cfg: Optional[RAFTConfig] = None, log_every: int = 50):
     """From-scratch smoke training on synthetic translations; returns
-    (model, variables, last_epe)."""
+    (model, variables, last_epe).  Defaults tuned on CPU: EPE < 1.5 by
+    ~350 steps (global-norm clipping matters — the early sequence loss has
+    huge gradients)."""
     import optax
 
     cfg = cfg or RAFTConfig(base=32, feature_dim=96, hidden_dim=64,
-                            context_dim=64, corr_levels=3, corr_radius=3,
-                            iters=6)
+                            context_dim=64, corr_levels=2, corr_radius=3,
+                            iters=4)
     model, variables = init_raft(jax.random.PRNGKey(seed), size, cfg)
     params, stats = variables["params"], variables.get("batch_stats", {})
-    tx = optax.adamw(lr, weight_decay=1e-5)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(lr, weight_decay=1e-5))
     opt = tx.init(params)
     step_fn = make_raft_train_step(model, tx)
     rng = np.random.default_rng(seed)
     epe = float("inf")
     for i in range(steps):
-        batch_data = synthetic_flow_batch(rng, batch, size)
+        batch_data = synthetic_flow_batch(rng, batch, size, max_shift=4.0)
         params, stats, opt, log = step_fn(params, stats, opt, batch_data,
                                           None)
         if log_every and (i + 1) % log_every == 0:

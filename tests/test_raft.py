@@ -178,7 +178,6 @@ def test_raft_learns_synthetic_translations():
     optical flow."""
     from ipoke_tpu.nn.raft import train_raft_synthetic
 
-    _, _, epe = train_raft_synthetic(steps=150, size=48, batch=4, seed=0,
-                                     log_every=50)
+    _, _, epe = train_raft_synthetic(steps=400, seed=0, log_every=100)
     assert np.isfinite(epe)
     assert epe < 2.0, f"RAFT failed to learn synthetic shifts (EPE={epe})"
