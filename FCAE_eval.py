@@ -30,7 +30,7 @@ def main():
         data_root=args.data_root or None, debug=False, devices=None,
         gpus=None))
     exp = select_experiment(config)(config, dirs, data_root=data_root)
-    _restore_trained(exp)
+    _restore_trained(exp, require_sampler=False)
 
     import jax
 

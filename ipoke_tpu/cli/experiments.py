@@ -585,10 +585,12 @@ def _registry():
     from .fc_experiments import (
         FlowEncoderFCExperiment,
         FlowMotionExperiment,
+        FlowVAEExperiment,
         ImgEncoderFCExperiment,
         INNFCAEExperiment,
         PokeEncoderFCExperiment,
         SecondStageFCExperiment,
+        ThirdStageFCExperiment,
     )
 
     return {
@@ -603,8 +605,9 @@ def _registry():
         "first_stage_fc": FirstStageExperiment,  # arch.baseline selects FC
         "second_stage_fc": SecondStageFCExperiment,
         "flow_encoder_fc": FlowEncoderFCExperiment,
-        "third_stage_fc": FlowMotionExperiment,
+        "third_stage_fc": ThirdStageFCExperiment,
         "flow_motion": FlowMotionExperiment,
+        "flow_vae": FlowVAEExperiment,
         "inn_fcae": INNFCAEExperiment,
     }
 

@@ -360,6 +360,250 @@ class INNFCAEExperiment(Experiment):
         return {"flow_loss-val": float(np.mean(losses))}
 
 
+class ThirdStageFCExperiment(Experiment):
+    """The fork's namesake third stage (reference
+    ``experiments/third_stage_video_fc.py`` + ``models/third_stage_video_fc.py``
+    / ``..._conditional.py``): an unconditional (or poke-conditioned, via
+    ``general.conditional``) flat coupling INN aligns frozen-BigAE flow
+    latents with the frozen FC second stage's residual space.
+
+    Monitored on ``EE_R3-val`` — the fraction of flow vectors with >3px
+    endpoint error between the residual-seeded hallucinated flow and the
+    AE-reconstructed ground-truth flow (reference ``:341-347``, checkpoint
+    gate ``val-EE_R3`` at experiments/third_stage_video_fc.py:32-33)."""
+
+    monitor = "EE_R3-val"
+    datakeys = ["images", "poke", "flow"]
+
+    def build(self):
+        from ..models.big_ae import BigAE
+        from ..models.fc_baseline import SecondStageModelFC
+        from ..models.fc_stack import build_big_ae
+        from ..models.second_stage import FrozenBundle
+        from ..models.third_stage import (
+            ThirdStageFC,
+            create_third_stage_state,
+            make_third_stage_fc_train_step,
+        )
+
+        cfg = self.config
+        # frozen FC second stage (submodels + trained cINN params)
+        helper = SecondStageFCExperiment.__new__(SecondStageFCExperiment)
+        helper.config = cfg
+        fs_model, cond, poke, frozen = helper._load_frozen()
+        ss_sec = cfg["second_stage"]
+        ss_cfg = load_config(ss_sec["config"]) if isinstance(
+            ss_sec.get("config"), str) else Config(ss_sec["config"])
+        self.ss_model = SecondStageModelFC(ss_cfg, fs_model, cond, poke)
+        ss_params = self.ss_model.init(jax.random.PRNGKey(0))
+        if ss_sec.get("ckpt"):
+            ss_params = CheckpointStore(ss_sec["ckpt"]).restore_best(
+                {"params": ss_params}, weights=True)["params"]
+        self.ss_params = ss_params
+
+        # frozen BigAE flow encoder
+        fe_sec = cfg["flow_encoder"]
+        fe_cfg = load_config(fe_sec["config"]) if isinstance(
+            fe_sec.get("config"), str) else Config(fe_sec["config"])
+        self.flow_encoder = build_big_ae(fe_cfg)
+        s = fe_cfg["data"]["spatial_size"][0]
+        c = fe_cfg["architecture"].get("n_out_channels", 2)
+        v = self.flow_encoder.init(
+            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, s, s, c)),
+            rng=jax.random.PRNGKey(2))
+        fe_state = {"params": v["params"], "stats": {}}
+        if fe_sec.get("ckpt"):
+            fe_state = CheckpointStore(fe_sec["ckpt"]).restore_best(
+                fe_state, weights=True)
+        frozen["flow_enc"] = FrozenBundle(fe_state["params"],
+                                          fe_state["stats"])
+        self.frozen = frozen
+
+        arch = dict(cfg["architecture"])
+        # INN dims default to the second stage's residual dims (reference
+        # third_stage_video_fc_conditional.py:92: flow_in_channels = fs z_dim)
+        arch.setdefault("flow_in_channels", self.ss_model.flow_in_channels)
+        cfg["architecture"] = arch
+
+        self.conditional = bool(cfg.get("general", {}).get(
+            "conditional", False))
+        poke_nf = self.ss_model.poke_embedder.nf_max
+        ss_model, ss_p = self.ss_model, self.ss_params
+        density = lambda frozen, batch, rng: ss_model.forward_density(
+            ss_p, frozen, batch, rng)[0]
+        # conditional variant: the INN sees the (frozen) poke embedding slice
+        # of the second stage's conditioning vector (reference
+        # third_stage_video_fc_conditional.py:246-248)
+        self.cond_fn = (
+            (lambda frozen, batch: ss_model.embed_conditioning(
+                frozen, batch)[:, -poke_nf:])
+            if self.conditional else None)
+        self.model = ThirdStageFC(
+            cfg, self.flow_encoder, density,
+            poke_cond_dim=poke_nf if self.conditional else 0)
+
+        tcfg = cfg["training"]
+        sched = warmup_linear_decay(
+            float(tcfg.get("lr", 1e-3)),
+            int(tcfg.get("lr_scaling_max_it", 500)),
+            self.n_epochs * self.max_batches)
+        state = create_third_stage_state(
+            self.next_rng(), self.model, flow_adam(sched),
+            weight_recon=float(tcfg.get("weight_recon", 1.0)))
+        self.tx = self.accumulate(flow_adam(sched, params=state.params))
+        self.state = state.replace(opt=self.tx.init(state.params))
+        self._step = jax.jit(make_third_stage_fc_train_step(
+            self.model, self.tx, cond_fn=self.cond_fn))
+
+        from ..eval.metrics import optical_flow_metrics
+        from ..flows import flow_loss
+        from ..models.big_ae import BigAE as _BigAE
+
+        def _val(params, frozen, batch, rng):
+            r1, r2, r3 = jax.random.split(rng, 3)
+            h = self.cond_fn(frozen, batch) if self.cond_fn else None
+            out_hat = density(frozen, batch, r1)  # target residual
+            out, logdet = self.model.forward_density(params, frozen, batch,
+                                                     r2, h)
+            loss, _ = flow_loss(out, logdet)
+            recon = jnp.mean((out - out_hat.reshape(out.shape)) ** 2)
+            # EE metric: residual-seeded hallucinated flow vs AE-recon GT.
+            # The INN is dimension-preserving, so the second-stage residual
+            # IS a full latent seed (reference third_stage_video_fc.py:341
+            # seeds forward_sample with the density output directly)
+            z_seed = out_hat.reshape(out_hat.shape[0], -1)
+            flow_hat, _ = self.model.forward_sample_flow(
+                params, frozen, batch, r3, h, z=z_seed)
+            mu, _ = self.flow_encoder.apply(
+                {"params": frozen["flow_enc"].params}, batch["flow"],
+                method=_BigAE.encode)
+            flow_ref = self.model.decode_flow_latent(frozen, mu)
+            m = optical_flow_metrics(flow_hat, flow_ref)
+            m["flow_loss"] = loss
+            m["reconstruction_loss"] = recon
+            return m
+
+        self._val = jax.jit(_val)
+
+    def train_step(self, batch, epoch):
+        from ..models.third_stage import double_recon_weight_schedule
+
+        if self.config["training"].get("recon_scaling", False):
+            self.state = double_recon_weight_schedule(self.state, epoch)
+        return self._step(self.state, self.frozen, batch, self.next_rng())
+
+    def export_weights(self, state):
+        return {"params": state.params}
+
+    def validate(self, epoch):
+        agg = {}
+        for batch in self.datamodule.val_loader(
+                epoch=epoch, n_batches=self.max_val_batches):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            m = self._val(self.state.params, self.frozen, batch,
+                          self.next_rng())
+            for k, v in m.items():
+                agg.setdefault(k, []).append(float(v))
+        return {f"{k}-val": float(np.mean(v)) for k, v in agg.items()}
+
+    def sample_video(self, batch, rng, length: int):
+        """The composed fork capability: measured flow -> BigAE latent -> INN
+        -> second-stage residual -> motion latent -> video, with NO
+        ground-truth poke required for the motion content."""
+        r1, r2 = jax.random.split(rng)
+        h = self.cond_fn(self.frozen, batch) if self.cond_fn else None
+        z = self.model.make_flow_input(self.frozen, batch, r1)
+        residual, _ = self.model.inn.forward(
+            self.state.params["inn"], z, h)
+        cond = self.ss_model.embed_conditioning(self.frozen, batch)
+        motion = self.ss_model.flow.inverse(
+            self.ss_params["flow"], residual, cond)
+        return self.ss_model.decode_first_stage(
+            self.frozen, motion, batch["images"][:, 0], length)
+
+
+class FlowVAEExperiment(Experiment):
+    """Trainer for the conv ``ConvFlowVAE`` (reference FlowVAE/FlowVAE3,
+    models/opticalFlow/models.py — the frozen flow encoder of the
+    ``flow_motion`` bridge).  MSE recon + KL; monitored on recon endpoint
+    error so ``flow_motion`` composes a genuinely trained VAE."""
+
+    monitor = "EE-val"
+    datakeys = ["flow"]
+
+    def build(self):
+        import optax
+
+        from ..models.second_stage import FlowTrainState
+        from ..models.third_stage import ConvFlowVAE
+
+        cfg = self.config
+        arch = cfg["architecture"]
+        s = cfg["data"]["spatial_size"][0]
+        self.model = ConvFlowVAE(
+            spatial_size=s,
+            bottleneck_channels=arch.get("flow_vae_channels", 8),
+            nf_max=arch.get("flow_vae_nf_max", 64),
+            min_spatial_size=arch.get("min_spatial_size", 8))
+        v = self.model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, s, s, 2)),
+            rng=jax.random.PRNGKey(1))
+        params = v["params"]
+        # spectral-norm u vectors (power iteration state) live in batch_stats
+        self.stats = v.get("batch_stats", {})
+        tcfg = cfg["training"]
+        self.tx = self.accumulate(optax.adam(float(tcfg.get("lr", 1e-3))))
+        self.state = FlowTrainState(params=params, opt=self.tx.init(params),
+                                    step=jnp.zeros((), jnp.int32))
+        kl_w = float(tcfg.get("kl_weight", 1e-6))
+
+        def _step(state, stats, batch, rng):
+            flow = batch["flow"]
+
+            def loss_fn(p):
+                (rec, mu, logvar), new_vars = self.model.apply(
+                    {"params": p, "batch_stats": stats}, flow, rng=rng,
+                    train=True, mutable=["batch_stats"])
+                rec_l = jnp.mean((rec - flow) ** 2)
+                kl = -0.5 * jnp.mean(jnp.sum(
+                    1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1))
+                loss = rec_l + kl_w * kl
+                return loss, ({"loss": loss, "rec_loss": rec_l,
+                               "kl_loss": kl}, new_vars["batch_stats"])
+
+            (loss, (log, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            upd, opt = self.tx.update(grads, state.opt, state.params)
+            return state.replace(
+                params=optax.apply_updates(state.params, upd), opt=opt,
+                step=state.step + 1), new_stats, log
+
+        self._step = jax.jit(_step)
+
+    def train_step(self, batch, epoch):
+        state, self.stats, log = self._step(self.state, self.stats, batch,
+                                            self.next_rng())
+        self.state = state
+        return state, log
+
+    def export_weights(self, state):
+        return {"params": state.params, "stats": self.stats}
+
+    def validate(self, epoch):
+        from ..eval import angular_error, endpoint_error
+
+        apply = jax.jit(lambda p, st, x: self.model.apply(
+            {"params": p, "batch_stats": st}, x))
+        ees, aes = [], []
+        for batch in self.datamodule.val_loader(
+                epoch=epoch, n_batches=self.max_val_batches):
+            flow = jnp.asarray(batch["flow"])
+            rec, *_ = apply(self.state.params, self.stats, flow)
+            ees.append(float(jnp.mean(endpoint_error(flow, rec))))
+            aes.append(float(jnp.mean(angular_error(flow, rec))))
+        return {"EE-val": float(np.mean(ees)), "AE-val": float(np.mean(aes))}
+
+
 class FlowMotionExperiment(Experiment):
     """Conv third stage (reference ``opticalFlowINN.py`` / ``flow_motion.py``):
     train the bridge INN against the frozen conv second stage + flow VAE.

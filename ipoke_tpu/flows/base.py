@@ -47,6 +47,13 @@ class Flow:
         y, ld = self.forward(params, x, h)
         return y, ld, params
 
+    def output_shape(self, x_shape: Sequence[int]) -> Tuple[int, ...]:
+        """Shape of forward(x) given x_shape (no batch dim).  Identity for
+        most flows; reshaping stacks override (base samples for the inverse
+        must be drawn at THIS shape — reference make_flow_input,
+        second_stage_video.py:300-311)."""
+        return tuple(x_shape)
+
 
 @dataclasses.dataclass(frozen=True)
 class Chain(Flow):

@@ -8,8 +8,13 @@ double couplings), ``UnconditionalFlow2:432-465`` (the
 channel shuffles.  Arrays are (B, D) vectors; conditioning (B, Dc).
 
 Note: the reference's ``InvLeakyRelu`` reports logdet 0 (flow_blocks.py:377);
-here the true per-sample logdet is accumulated — a correctness improvement
-that changes only the additive NLL constant.
+here the true per-sample logdet is accumulated by default.  The correction
+term is DATA-DEPENDENT (log(alpha) x the count of negative activations), so
+absolute NLL/bits-per-dim are not numerically comparable with the reference
+(gradients are unchanged almost everywhere — the term is piecewise constant
+in x).  Set ``InvLeakyRelu(reference_logdet=True)`` (plumbed via the flow
+builders' ``reference_logdet`` arch key) to reproduce the reference's
+logdet-0 bookkeeping for metric parity.
 """
 
 from __future__ import annotations
@@ -47,7 +52,12 @@ def _mlp_apply(params, x, use_tanh):
 
 @dataclasses.dataclass(frozen=True)
 class InvLeakyRelu(Flow):
+    """See module docstring: true data-dependent logdet by default;
+    ``reference_logdet=True`` reports 0 like the reference
+    (flow_blocks.py:372-394)."""
+
     alpha: float = 0.9
+    reference_logdet: bool = False
 
     def init(self, rng, x_shape=None):
         return {}
@@ -57,7 +67,10 @@ class InvLeakyRelu(Flow):
 
     def forward(self, params, x, h=None):
         s = self._scale(x)
-        ld = jnp.sum(jnp.log(s).reshape(x.shape[0], -1), axis=1)
+        if self.reference_logdet:
+            ld = jnp.zeros((x.shape[0],), x.dtype)
+        else:
+            ld = jnp.sum(jnp.log(s).reshape(x.shape[0], -1), axis=1)
         return x * s, ld
 
     def inverse(self, params, y, h=None):
@@ -156,12 +169,14 @@ class FlatCouplingBlock(Flow):
     cond_channels: int = 0
     cond_mode: str = "none"
     activation: str = "none"  # 'lrelu' or 'none'
+    reference_logdet: bool = False
 
     @property
     def _parts(self):
         parts = [ActNorm(self.in_channels)]
         if self.activation == "lrelu":
-            parts.append(InvLeakyRelu())
+            parts.append(InvLeakyRelu(
+                reference_logdet=self.reference_logdet))
         parts.append(VectorCoupling(
             self.in_channels, self.hidden_dim, self.depth,
             self.cond_channels, self.cond_mode,
@@ -210,11 +225,13 @@ class ConditionalFlatFlow(Flow):
     depth: int
     n_flows: int
     activation: str = "lrelu"
+    reference_logdet: bool = False
 
     def _block(self, mode):
         return FlatCouplingBlock(
             self.in_channels, self.hidden_dim, self.depth,
             self.cond_channels, cond_mode=mode, activation=self.activation,
+            reference_logdet=self.reference_logdet,
         )
 
     def _structure(self):
@@ -308,6 +325,7 @@ def build_supervised_transformer(arch) -> ConditionalFlatFlow:
         depth=get("flow_hidden_depth", 2),
         n_flows=get("n_flows", 20),
         activation=get("flow_activation", "lrelu"),
+        reference_logdet=bool(get("reference_logdet", False)),
     )
 
 

@@ -696,3 +696,30 @@ class MultiscaleStack(Flow):
             if self._reshape_step is not None and i == self._reshape_step:
                 out = self._reshaper.inverse({}, out)
         return out
+
+    def ddi(self, params, x, h=None):
+        """Data-dependent init through every block (the base-class default
+        would silently skip the per-block ActNorm/wn-conv init)."""
+        ld = jnp.zeros(x.shape[0], jnp.float32)
+        out = x
+        new_blocks = []
+        for i, (b, p) in enumerate(zip(self._blocks(), params["blocks"])):
+            if self._reshape_step is not None and i == self._reshape_step:
+                out, _ = self._reshaper.forward({}, out)
+            out, l, p2 = b.ddi(p, out, self._cond_for(params, i, h))
+            new_blocks.append(p2)
+            ld = ld + l
+        new = dict(params)
+        new["blocks"] = new_blocks
+        return out, ld, new
+
+    def output_shape(self, x_shape):
+        """With reshape 'down' the forward output lives at (H/2, W/2, 4C)
+        (reference make_flow_input samples the reshaped shape,
+        second_stage_video.py:300-307); 'up' the opposite."""
+        h, w, c = x_shape
+        if self.reshape == "down":
+            return (h // 2, w // 2, c * 4)
+        if self.reshape == "up":
+            return (h * 2, w * 2, c // 4)
+        return tuple(x_shape)

@@ -200,9 +200,12 @@ class SecondStageModel:
         X = batch["images"]
         s = self.min_spatial_size
         cond = self.embed_conditioning(frozen, batch, params)
-        z = jax.random.normal(
-            rng, (X.shape[0], s, s, self.flow_in_channels), jnp.float32
-        )
+        # base sample drawn at the flow's OUTPUT shape — differs from the
+        # input shape for reshaping multistacks (reference make_flow_input,
+        # second_stage_video.py:300-311); latent dtype follows the input
+        # (bf16 end-to-end under mixed precision / bf16 weight streaming)
+        z_shape = self.flow.output_shape((s, s, self.flow_in_channels))
+        z = jax.random.normal(rng, (X.shape[0], *z_shape), X.dtype)
         motion = self.flow.inverse(params["flow"], z, cond)
         if self.augment_input:
             motion = motion[..., : self.first_stage.z_dim]

@@ -67,8 +67,8 @@ class ConvFlowVAE(nn.Module):
             out_channels=2, dtype=self.dtype,
         )
 
-    def encode(self, x, rng=None):
-        h, *_ = self.encoder(x)
+    def encode(self, x, rng=None, train: bool = False):
+        h, *_ = self.encoder(x, train=train)
         mu, logvar = self.to_mu(h), jnp.clip(self.to_logvar(h), -30.0, 20.0)
         if rng is None:
             return mu, mu, logvar
@@ -76,12 +76,12 @@ class ConvFlowVAE(nn.Module):
                                                            mu.dtype)
         return z, mu, logvar
 
-    def decode(self, z):
-        return self.decoder(self.from_z(z))
+    def decode(self, z, train: bool = False):
+        return self.decoder(self.from_z(z), train=train)
 
-    def __call__(self, x, rng=None):
-        z, mu, logvar = self.encode(x, rng)
-        return self.decode(z), mu, logvar
+    def __call__(self, x, rng=None, train: bool = False):
+        z, mu, logvar = self.encode(x, rng, train=train)
+        return self.decode(z, train=train), mu, logvar
 
 
 def smooth_l1(a, b, beta: float = 1.0):
@@ -253,14 +253,28 @@ class ThirdStageFC:
         z = self.make_flow_input(frozen, batch, rng)
         return self.inn.forward(params["inn"], jax.lax.stop_gradient(z), h)
 
-    def forward_sample_flow(self, params, frozen, batch, rng, h=None):
-        z = self.make_flow_input(frozen, batch, rng, reverse=True)
+    def forward_sample_flow(self, params, frozen, batch, rng, h=None,
+                            z=None):
+        """z ~ N(0,I) (or an explicit residual, reference forward_sample's
+        ``flow_input=`` seeding, third_stage_video_fc_conditional.py:215-233)
+        -> INN inverse -> BigAE decode = hallucinated optical flow."""
+        if z is None:
+            z = self.make_flow_input(frozen, batch, rng, reverse=True)
         out = self.inn.inverse(params["inn"], z, h)
         flow = self.flow_encoder.apply(
             {"params": frozen["flow_enc"].params}, out[:, : self.z_flow],
             method=BigAE.decode,
         )
         return flow, out[:, self.z_flow :]
+
+    def decode_flow_latent(self, frozen, z_flow):
+        """BigAE decode of a flow latent (for EE metrics against the
+        AE-reconstructed ground truth, reference third_stage_video_fc.py
+        :341-347)."""
+        return self.flow_encoder.apply(
+            {"params": frozen["flow_enc"].params}, z_flow,
+            method=BigAE.decode,
+        )
 
 
 def make_third_stage_fc_train_step(model: ThirdStageFC, tx,

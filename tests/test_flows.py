@@ -258,3 +258,30 @@ def test_build_multistack_from_config():
             "levels": [[1], [1]], "factors": [4, 4]}
     flow = build_macow_transformer(arch)
     check_flow(flow, key=13, h_channels=HC, check_logdet=False)
+
+
+def test_multiscale_stack_output_shape_and_ddi():
+    """ADVICE r1: sampling must draw z at the reshaped output shape and DDI
+    must reach every block (the Flow default was a silent no-op)."""
+    from ipoke_tpu.flows import MultiscaleStack
+
+    flow = MultiscaleStack(
+        levels=((1,), (1,)), factors=(4, 4), in_channels=8,
+        mid_channels_factor=2, h_channels=HC, reshape="down",
+    )
+    assert flow.output_shape((H, W, 8)) == (H // 2, W // 2, 32)
+    x, h = _data(61, h_channels=HC)
+    params = flow.init(jax.random.PRNGKey(62), x.shape)
+    y, ld, new = flow.ddi(params, x, h)
+    assert y.shape == (B, H // 2, W // 2, 32)
+    # DDI must actually change per-block params (ActNorm init from stats)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params["blocks"]),
+                        jax.tree_util.tree_leaves(new["blocks"]))
+    )
+    assert changed
+    # post-DDI inverse still reconstructs
+    y2, _ = flow.forward(new, x, h)
+    x_rec = flow.inverse(new, y2, h)
+    assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-3
