@@ -25,14 +25,18 @@ def _out_dir(experiment, mode: str) -> str:
     return d
 
 
-def _restore_trained(experiment):
+def _restore_trained(experiment, require_sampler: bool = True):
+    """Build + restore the best checkpoint.  ``require_sampler=False`` for
+    encoder-style experiments without a frozen-submodel sampling pipeline
+    (e.g. FCAE_eval on flow_encoder_fc)."""
     experiment.build()
-    assert hasattr(experiment, "frozen") and hasattr(
-        experiment.model, "forward_sample"), (
-        f"--test modes drive the sampling pipeline; experiment "
-        f"{type(experiment).__name__} has no frozen-submodel sampler "
-        f"(run them on second_stage/second_stage_fc runs)"
-    )
+    if require_sampler:
+        assert hasattr(experiment, "frozen") and hasattr(
+            experiment.model, "forward_sample"), (
+            f"--test modes drive the sampling pipeline; experiment "
+            f"{type(experiment).__name__} has no frozen-submodel sampler "
+            f"(run them on second_stage/second_stage_fc runs)"
+        )
     name = "last" if experiment.config.get_path("general.last_ckpt") else None
     if name:
         experiment.state = experiment.store.restore(experiment.state, name)
@@ -62,7 +66,8 @@ def test_samples(experiment) -> Dict[str, float]:
     tcfg = experiment.config.get("testing", {})
     n_batches = 1 if experiment.debug else max(
         1, int(tcfg.get("n_samples_vis", 20))
-        // experiment.datamodule.config.get("test_batch_size", 4))
+        // experiment.datamodule.config.get(
+            "test_batch_size", experiment.datamodule.batch_size))
     d = _out_dir(experiment, "samples")
     sample = _sample_fn(experiment)
 
@@ -181,7 +186,12 @@ def test_accuracy(experiment) -> Dict[str, float]:
 
 
 def test_diversity(experiment) -> Dict[str, float]:
-    from ..eval.metrics import diversity_score_mse, diversity_score_vgg
+    from ..eval.metrics import (
+        diversity_score_lpips,
+        diversity_score_mse,
+        diversity_score_vgg,
+    )
+    from ..nn.lpips import init_lpips_params, load_torch_lpips_npz
     from ..nn.vgg import init_vgg_params
 
     _restore_trained(experiment)
@@ -198,9 +208,14 @@ def test_diversity(experiment) -> Dict[str, float]:
         ], axis=1)
 
     samples = np.concatenate(_collect(experiment, n_batches, gen))
+    # learned LPIPS variant (reference compute_div_score_lpips); real heads
+    # via IPOKE_LPIPS_WEIGHTS (acquisition recipe in nn/lpips.py)
+    lp = os.environ.get("IPOKE_LPIPS_WEIGHTS")
+    lpips_params = load_torch_lpips_npz(lp) if lp else init_lpips_params(0)
     result = {
         "divscore_mse": diversity_score_mse(samples),
         "divscore_vgg": diversity_score_vgg(init_vgg_params(0), samples),
+        "divscore_lpips": diversity_score_lpips(lpips_params, samples),
     }
     d = _out_dir(experiment, "diversity")
     with open(os.path.join(d, "metrics.json"), "w") as f:
@@ -208,88 +223,204 @@ def test_diversity(experiment) -> Dict[str, float]:
     return result
 
 
+def _u8(img: np.ndarray) -> np.ndarray:
+    return np.clip((np.asarray(img, np.float32) + 1.0) * 127.5,
+                   0, 255).astype(np.uint8)
+
+
+def _generated_motion_direction(x0_u8, xT_u8, y, x, win: int = 8):
+    """Mean Farneback-flow vector of the generated clip around (y, x) —
+    the measured response direction to a poke."""
+    import cv2
+
+    g0 = cv2.cvtColor(x0_u8, cv2.COLOR_RGB2GRAY)
+    gT = cv2.cvtColor(xT_u8, cv2.COLOR_RGB2GRAY)
+    fl = cv2.calcOpticalFlowFarneback(g0, gT, None, 0.5, 3, 9, 3, 5, 1.2, 0)
+    h, w = g0.shape
+    patch = fl[max(0, y - win): y + win + 1, max(0, x - win): x + win + 1]
+    return patch.reshape(-1, 2).mean(0)  # (dx, dy)
+
+
 def test_control_sensitivity(experiment) -> Dict[str, float]:
-    """Re-poke the same location with rotated directions; measure how the
-    motion at the poke location tracks the poke direction
-    (reference ``_control_sensitivity``, second_stage_video.py:797-902)."""
+    """Re-poke the same pixel with rotated directions and measure whether the
+    generated motion FOLLOWS the poke direction (reference
+    ``_control_sensitivity``, second_stage_video.py:797-902: per element,
+    ``n_control_sensitivity_pokes`` direction-randomized pokes — phase from a
+    random high-amplitude flow location — placed at the original poke coords;
+    one sample per poke; multipoke overview grids + per-poke videos +
+    enrollments).
+
+    Beyond the reference's artifact-only test, this also reports
+    ``direction_correlation``: the mean cosine similarity between each poke
+    direction and the Farneback-estimated motion of the generated clip at
+    the poke location (evenly-spaced angles over 2pi instead of the
+    reference's random [0, pi) draw, so the metric covers all directions
+    deterministically).  A model that ignores poke direction scores ~0."""
+    from ..utils.video import make_multipoke_grid, save_enrollment, save_video
+
     _restore_trained(experiment)
     n_dirs = 4 if experiment.debug else int(
         experiment.config.get("testing", {}).get(
             "n_control_sensitivity_pokes", 8))
+    half = int(experiment.config["data"].get("poke_size", 5)) // 2
     sample = _sample_fn(experiment)
-    sims = []
+    d = _out_dir(experiment, "control_sensitivity")
+    cos_sims, responses = [], []
+    rng = np.random.default_rng(experiment.config["general"].get("seed", 42))
     for batch in experiment.datamodule.test_loader(n_batches=1):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         poke = np.asarray(batch["poke"])
+        B, H, W = poke.shape[:3]
+        flow = np.asarray(batch["flow"]) if "flow" in batch else poke
+        coords = np.asarray(batch["poke_coords"]) if "poke_coords" in batch \
+            else None
         mag = np.linalg.norm(poke, axis=-1)
-        flat = mag.reshape(mag.shape[0], -1).argmax(-1)
-        ys, xs = np.unravel_index(flat, mag.shape[1:])
-        amp = mag.reshape(mag.shape[0], -1).max(-1)
+        if coords is None:
+            flat = mag.reshape(B, -1).argmax(-1)
+            ys, xs = np.unravel_index(flat, (H, W))
+        else:
+            ys, xs = coords[:, 0, 0], coords[:, 0, 1]
+        # phase per element: |flow| at a random above-mean-amplitude location
+        # (reference :809-828)
+        amp = np.linalg.norm(flow, axis=-1)
+        phases = np.empty(B, np.float32)
+        for b in range(B):
+            valid = np.argwhere(amp[b] > amp[b].mean())
+            if valid.shape[0] == 0:
+                valid = np.asarray([[ys[b], xs[b]]])
+            vy, vx = valid[rng.integers(valid.shape[0])]
+            phases[b] = amp[b, vy, vx]
+        all_pokes, all_vids = [poke], []
+        vid0 = np.asarray(sample(experiment.state.params, experiment.frozen,
+                                 batch, experiment.next_rng()))
+        all_vids.append(vid0)
         for k in range(n_dirs):
             ang = 2 * np.pi * k / n_dirs
-            d_vec = np.stack([np.cos(ang) * amp, np.sin(ang) * amp], -1)
+            d_vec = np.stack([np.cos(ang) * phases, np.sin(ang) * phases], -1)
             new_poke = np.zeros_like(poke)
-            for b in range(poke.shape[0]):
-                y, x = ys[b], xs[b]
-                new_poke[b, max(0, y - 2) : y + 3, max(0, x - 2) : x + 3] = (
-                    d_vec[b])
+            for b in range(B):
+                y, x = int(ys[b]), int(xs[b])
+                new_poke[b, max(0, y - half): y + half + 1,
+                         max(0, x - half): x + half + 1] = d_vec[b]
             nb = dict(batch)
             nb["poke"] = jnp.asarray(new_poke)
             vid = np.asarray(sample(experiment.state.params,
                                     experiment.frozen, nb,
                                     experiment.next_rng()))
-            # displacement proxy: difference around the poke across time
-            for b in range(vid.shape[0]):
+            all_pokes.append(new_poke)
+            all_vids.append(vid)
+            for b in range(B):
                 y, x = int(ys[b]), int(xs[b])
-                patch0 = np.asarray(batch["images"])[b, 0,
-                                                     max(0, y - 4) : y + 5,
-                                                     max(0, x - 4) : x + 5]
-                patchT = vid[b, -1, max(0, y - 4) : y + 5,
-                             max(0, x - 4) : x + 5]
-                sims.append(float(np.mean(np.abs(patchT - patch0))))
-    result = {"poke_region_response": float(np.mean(sims))}
-    d = _out_dir(experiment, "control_sensitivity")
+                move = _generated_motion_direction(
+                    _u8(np.asarray(batch["images"])[b, 0]), _u8(vid[b, -1]),
+                    y, x)
+                n_move = np.linalg.norm(move)
+                responses.append(float(n_move))
+                if n_move > 1e-3:
+                    u = d_vec[b] / (phases[b] + 1e-8)
+                    # record both component orders — poke layout is (dx, dy)
+                    # but dataset flow files may be (dy, dx); the aligned one
+                    # is the meaningful correlation
+                    cos_sims.append((float(np.dot(move / n_move, u)),
+                                     float(np.dot(move[::-1] / n_move, u))))
+        # reference artifact set: overview grid + per-poke singles +
+        # enrollments under sid_<start_id> dirs (:875-900)
+        pokes_np = np.stack(all_pokes, axis=1)   # (B, n_dirs+1, H, W, 2)
+        vids_np = np.stack(all_vids, axis=1)     # (B, n_dirs+1, T, H, W, 3)
+        sids = np.asarray(batch["sample_ids"])[:, 0] if "sample_ids" in batch \
+            else np.arange(B)
+        x0s = np.asarray(batch["images"])[:, 0]
+        tgts = np.asarray(batch["images"])[:, 1:]
+        for b in range(min(B, 4)):
+            sd = os.path.join(d, f"sid_{int(sids[b])}")
+            os.makedirs(sd, exist_ok=True)
+            singles = make_multipoke_grid(
+                x0s[b], pokes_np[b], tgts[b], vids_np[b],
+                os.path.join(sd, "overview.mp4"))
+            for i, sv in enumerate(singles):
+                tag = "groundtruth_poke" if i == 0 else f"sample_{i}"
+                save_video(sv, os.path.join(sd, f"{tag}.mp4"))
+                save_enrollment(sv, os.path.join(sd, f"{tag}_enrollment.png"))
+    if cos_sims:
+        m_xy = float(np.mean([c[0] for c in cos_sims]))
+        m_yx = float(np.mean([c[1] for c in cos_sims]))
+    else:
+        m_xy = m_yx = 0.0
+    result = {
+        "direction_correlation": max(m_xy, m_yx),
+        "direction_correlation_xy": m_xy,
+        "direction_correlation_yx": m_yx,
+        "poke_region_response": float(np.mean(responses)),
+        "n_directions": float(n_dirs),
+    }
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump(result, f)
     return result
 
 
 def test_transfer(experiment) -> Dict[str, float]:
-    """Kinematics transfer: encode video A to its residual z, decode it under
-    video B's conditioning (reference ``_test_transfer``,
-    second_stage_video.py:959-1045)."""
+    """Kinematics transfer (reference ``_test_transfer``,
+    second_stage_video.py:959-1045): retrieve each clip's kinematics nearest
+    neighbor (the ``nn`` datakey — keypoint-NN on iPER, random-other-video
+    fallback elsewhere), encode video A to its residual under its own
+    conditioning, then invert that residual under the NEIGHBOR's conditioning
+    (neighbor start frame + A's poke) and decode on the neighbor — plus a
+    random-residual control, like the reference's ``vid_random_cond2``.
+
+    Artifacts: ``transfer_grid-<b>.mp4`` (src | tgt x0 | transfer | random)
+    and per-pair enrollment PNGs + row mp4s keyed by both sample ids."""
+    from ..utils.video import make_transfer_grid, save_enrollment, save_video
+
     _restore_trained(experiment)
     model = experiment.model
     T = experiment.config["data"]["max_frames"]
 
     @jax.jit
-    def transfer(params, frozen, batch_a, batch_b, rng):
-        z, _ = model.forward_density(params, frozen, batch_a, rng)
+    def transfer(params, frozen, batch, rng):
+        r1, _ = model.forward_density(params, frozen, batch, rng)
+        # neighbor conditioning: X_2's start image with A's poke (reference
+        # poke1_src2 / cond_2 assembly, :976-1013)
+        batch_b = {"images": batch["nn_images"], "poke": batch["poke"]}
         cond_b = model.embed_conditioning(frozen, batch_b, params)
-        motion = model.flow.inverse(params["flow"], z, cond_b)
-        if model.augment_input:
-            motion = motion[..., : model.first_stage.z_dim]
-        return model.decode_first_stage(frozen, motion,
-                                        batch_b["images"][:, 0], T)
+
+        def decode(residual):
+            motion = model.flow.inverse(params["flow"], residual, cond_b)
+            if model.augment_input:
+                motion = motion[..., : model.first_stage.z_dim]
+            return model.decode_first_stage(frozen, motion,
+                                            batch_b["images"][:, 0], T)
+
+        z_rand = jax.random.normal(rng, r1.shape, r1.dtype)
+        return decode(r1), decode(z_rand)
 
     d = _out_dir(experiment, "transfer")
-    loader = experiment.datamodule.test_loader(n_batches=2)
-    batches = [
-        {k: jnp.asarray(v) for k, v in b.items()} for b in loader
-    ]
-    if len(batches) < 2:
-        batches = batches * 2
-    vid = np.asarray(transfer(experiment.state.params, experiment.frozen,
-                              batches[0], batches[1],
-                              experiment.next_rng()))
-    np.save(os.path.join(d, "transfer_batch0.npy"), vid)
-    from ..utils.video import make_transfer_grid
-
-    make_transfer_grid(
-        np.asarray(batches[0]["images"][:, 1:]),
-        np.asarray(batches[1]["images"][:, 0]), vid,
-        os.path.join(d, "transfer_grid.mp4"))
-    return {"n_transferred": float(vid.shape[0])}
+    n_batches = 1 if experiment.debug else 2
+    # ensure the dataset yields the nn payload
+    dset = experiment.datamodule.dset_test
+    if "nn" not in dset.datakeys:
+        dset.datakeys.append("nn")
+    n_done = 0
+    for bi, batch in enumerate(
+            experiment.datamodule.test_loader(n_batches=n_batches)):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        vid, vid_rand = transfer(experiment.state.params, experiment.frozen,
+                                 batch, experiment.next_rng())
+        vid, vid_rand = np.asarray(vid), np.asarray(vid_rand)
+        np.save(os.path.join(d, f"transfer_batch{bi}.npy"), vid)
+        src = np.asarray(batch["images"][:, 1:])
+        tgt_x0 = np.asarray(batch["nn_images"][:, 0])
+        make_transfer_grid(
+            src, tgt_x0, vid, os.path.join(d, f"transfer_grid-{bi}.mp4"),
+            extra=[vid_rand])
+        sids1 = np.asarray(batch["sample_ids"])[:, 0] if "sample_ids" in batch \
+            else np.arange(vid.shape[0])
+        sids2 = np.asarray(batch["nn_sample_ids"])[:, 0]
+        for b in range(min(vid.shape[0], 4)):
+            tag = f"ids_m{int(sids1[b])}_src{int(sids2[b])}"
+            save_video(vid[b], os.path.join(d, f"transfer_row-{tag}.mp4"))
+            save_enrollment(vid[b], os.path.join(d, f"transfer_grid-{tag}.png"))
+        n_done += vid.shape[0]
+    return {"n_transferred": float(n_done)}
 
 
 def test_kps_acc(experiment) -> Dict[str, float]:
@@ -298,11 +429,20 @@ def test_kps_acc(experiment) -> Dict[str, float]:
     the target trajectory (reference ``_test_step_kps_acc``,
     second_stage_video.py:772-794).  Needs keypoint metadata (pose prep) —
     falls back to the standard poke key when absent."""
-    from ..eval.pose import PoseEstimator, keypoint_mse
+    from ..eval.pose import (
+        PoseEstimator,
+        keypoint_mse,
+        load_torch_pose_resnet_npz,
+    )
 
     _restore_trained(experiment)
+    # real COCO pose_resnet152 weights when provided (acquisition recipe in
+    # eval/pose.py::load_torch_pose_resnet_npz)
+    wpath = os.environ.get("IPOKE_POSE_WEIGHTS")
     est = PoseEstimator(
-        input_size=experiment.config["data"]["spatial_size"][0])
+        input_size=experiment.config["data"]["spatial_size"][0],
+        variables=load_torch_pose_resnet_npz(wpath) if wpath else None,
+        layers=(3, 8, 36, 3) if wpath else (3, 4, 6, 3))
     sample = _sample_fn(experiment)
     dset = experiment.datamodule.dset_test
     has_kp = getattr(dset, "keypoints", None) is not None

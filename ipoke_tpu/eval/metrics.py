@@ -196,6 +196,32 @@ def diversity_score_mse(samples) -> float:
     return total / max(cnt, 1)
 
 
+def diversity_score_lpips(lpips_params, samples) -> float:
+    """Mean pairwise LPIPS across n samples per datapoint (reference
+    ``compute_div_score_lpips``, metrics.py:192-209: mean over ordered pairs
+    j != k of per-frame LPIPS).
+
+    samples: (N, S, T, H, W, 3) in [-1, 1]."""
+    from ..nn.lpips import lpips
+
+    samples = jnp.asarray(samples)
+    n, s = samples.shape[:2]
+    frames = samples.reshape(n, s, -1, *samples.shape[3:])
+
+    @jax.jit
+    def pair(a, b):  # (N*T, H, W, 3) each
+        return jnp.mean(lpips(lpips_params, a, b))
+
+    total, cnt = 0.0, 0
+    for i in range(s):
+        for j in range(i + 1, s):
+            a = frames[:, i].reshape(-1, *samples.shape[3:])
+            b = frames[:, j].reshape(-1, *samples.shape[3:])
+            total += float(pair(a, b))
+            cnt += 1
+    return total / max(cnt, 1)
+
+
 def diversity_score_vgg(vgg_params, samples, batch_frames: int = 64) -> float:
     """Mean pairwise VGG cosine distance (reference ``compute_div_score``)."""
     samples = jnp.asarray(samples)

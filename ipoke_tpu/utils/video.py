@@ -119,13 +119,36 @@ def save_enrollment(video: np.ndarray, path: str, max_frames: int = 10):
     return path
 
 
+def make_multipoke_grid(x0, pokes, target, samples, path: str, fps: int = 3):
+    """Per-element control-sensitivity grid (reference ``make_multipoke_grid``
+    use in ``_control_sensitivity``, second_stage_video.py:875-900): one row
+    per poke variant — [x0 with that poke's arrows | generated video] — with
+    the ground-truth clip as the top row.
+
+    x0 (H, W, 3); pokes (P, H, W, 2); target (T, H, W, 3);
+    samples (P, T, H, W, 3).  Returns the list of per-poke videos so callers
+    can save singles + enrollments like the reference."""
+    p, t = samples.shape[0], samples.shape[1]
+    rows = [np.stack([np.repeat(to_uint8(x0)[None], t, 0),
+                      to_uint8(np.asarray(target[:t]))])]
+    for k in range(p):
+        poked = draw_poke_arrows(x0, np.asarray(pokes[k]))
+        rows.append(np.stack([np.repeat(poked[None], t, 0),
+                              to_uint8(np.asarray(samples[k]))]))
+    save_video_grid(np.stack(rows), path, fps=fps)
+    return [np.asarray(samples[k]) for k in range(p)]
+
+
 def make_transfer_grid(src_videos, tgt_x0, transferred, path: str,
-                       fps: int = 3):
+                       fps: int = 3, extra=None):
     """Kinematics-transfer grid (reference ``make_transfer_grids_new``,
-    utils/logging.py:628): [source video | target x0 (static) | transfer]."""
+    utils/logging.py:628): [source video | target x0 (static) | transfer |
+    extra columns...] — e.g. the random-residual control video."""
     b, t = transferred.shape[0], transferred.shape[1]
     cols = [to_uint8(np.asarray(src_videos)),
             np.repeat(to_uint8(tgt_x0)[:, None], t, 1),
             to_uint8(np.asarray(transferred))]
+    for e in (extra or []):
+        cols.append(to_uint8(np.asarray(e)))
     save_video_grid(np.stack(cols, axis=1), path, fps=fps)
     return path

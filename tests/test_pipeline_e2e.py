@@ -153,6 +153,44 @@ def test_full_three_stage_pipeline(pipeline_env):
         fvd = json.load(f)
     assert np.isfinite(fvd["FVD"])
 
+    # --test transfer: NN-retrieved kinematics transfer with the reference's
+    # artifact set (grid mp4 + per-pair enrollment PNG + row mp4)
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "transfer"], base)
+    tdir = os.path.join(base, "second_stage/generated/tiny/transfer")
+    tfiles = os.listdir(tdir)
+    assert any(f.startswith("transfer_grid-") and f.endswith(".mp4")
+               for f in tfiles)
+    assert any(f.startswith("transfer_row-ids_m") for f in tfiles)
+    assert any(f.startswith("transfer_grid-ids_m") and f.endswith(".png")
+               for f in tfiles)
+
+    # --test control_sensitivity: rotated pokes -> multipoke grids +
+    # direction-correlation metric
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "control_sensitivity"],
+              base)
+    cdir = os.path.join(base,
+                        "second_stage/generated/tiny/control_sensitivity")
+    with open(os.path.join(cdir, "metrics.json")) as f:
+        cs = json.load(f)
+    assert "direction_correlation" in cs and np.isfinite(
+        cs["direction_correlation"])
+    sid_dirs = [f for f in os.listdir(cdir) if f.startswith("sid_")]
+    assert sid_dirs, "per-element multipoke sample dirs must exist"
+    inner = os.listdir(os.path.join(cdir, sid_dirs[0]))
+    assert "overview.mp4" in inner
+    assert any(f.endswith("_enrollment.png") for f in inner)
+
+    # --test diversity: MSE + VGG + LPIPS variants
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "diversity"], base)
+    with open(os.path.join(
+            base, "second_stage/generated/tiny/diversity/metrics.json")) as f:
+        div = json.load(f)
+    for key in ("divscore_mse", "divscore_vgg", "divscore_lpips"):
+        assert np.isfinite(div[key]), key
+
 
 def test_fc_flow_encoder_and_third_stage(pipeline_env):
     """Fork pipeline: flow_encoder_fc (BigGAN-AE) + flow_motion third stage
