@@ -33,14 +33,20 @@ import jax.numpy as jnp
 V5E_PEAK_HBM_GBPS = 819.0
 
 
-def _rate(fn, args, iters, warmup=1):
+def _rate(fn, args, iters, warmup=1, rounds=1):
+    """Pipelined rate; best of ``rounds`` measurement rounds (host noise —
+    e.g. a concurrent CPU job slowing remote dispatch — only ever slows a
+    round down, so the max is the robust steady-state estimate)."""
     for _ in range(warmup):
         fn(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
-    return iters / (time.perf_counter() - t0)
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        out.block_until_ready()
+        best = max(best, iters / (time.perf_counter() - t0))
+    return best
 
 
 def _build_on_cpu(batch_size, spatial):
@@ -118,7 +124,7 @@ def main():
     iters = int(os.environ.get("IPOKE_BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     fn_dev = jax.jit(sample)
-    rate_dev = _rate(fn_dev, args, iters=iters) * B  # clips/sec
+    rate_dev = _rate(fn_dev, args, iters=iters, rounds=3) * B  # clips/sec
     print(f"device warmup+measure: {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
     step_ms = 1e3 * B / rate_dev
