@@ -6,14 +6,18 @@ Observed on TPU v5e (see /tmp logs of the round-1 run): first stage L1
 0.75 -> 0.025 over 300 steps; second-stage flow loss 1875 -> 443 with NLL
 below the reference Gaussian; all 7 --test modes produce the reference
 artifact tree.  Takes ~30 min end to end (mostly one-time compiles)."""
-import json, os, time
+import json, os, sys, time
+
+# runnable via `python examples/train_synthetic_pipeline.py`: python puts
+# examples/ (not the repo root) on sys.path, and PYTHONPATH breaks the axon
+# TPU registration (CLAUDE.md) — so bootstrap the root here
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import yaml
 import numpy as np
 
 from ipoke_tpu.data.prep import make_synthetic_dataset
 import main as cli
-
-import sys
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ipoke_demo"
 DATA = os.path.join(ROOT, "data")
 BASE = os.path.join(ROOT, "logs")

@@ -141,6 +141,22 @@ def test_accuracy(experiment) -> Dict[str, float]:
     n_spp = int(tcfg.get("n_samples_per_data_point", 5))
     n_batches = 2 if experiment.debug else 10
     sample = _sample_fn(experiment)
+    # posenet keypoint-MSE component when keypoint annotations exist
+    # (reference _test_step_metrics, second_stage_video.py:692-754)
+    dset = experiment.datamodule.dset_test
+    est = None
+    if getattr(dset, "keypoints", None) is not None:
+        from ..eval.pose import PoseEstimator, load_torch_pose_resnet_npz
+
+        wpath = os.environ.get("IPOKE_POSE_WEIGHTS")
+        est = PoseEstimator(
+            input_size=experiment.config["data"]["spatial_size"][0],
+            variables=load_torch_pose_resnet_npz(wpath) if wpath else None,
+            layers=(3, 8, 36, 3) if wpath else (3, 4, 6, 3))
+        for k in ("keypoints_rel",):
+            if k not in dset.datakeys:
+                dset.datakeys.append(k)
+    kps_errs = []
     best_ssim, best_lpips, best_psnr = [], [], []
     pf_ssim, pf_psnr, pf_lpips = [], [], []
     for batch in experiment.datamodule.test_loader(n_batches=n_batches):
@@ -163,6 +179,15 @@ def test_accuracy(experiment) -> Dict[str, float]:
                 pf_lpips.extend(pf)
                 pf_ssim.extend(np.asarray(ssim(a, b)).reshape(B, T))
                 pf_psnr.extend(np.asarray(psnr(a, b)).reshape(B, T))
+                if est is not None and "keypoints_rel" in batch:
+                    H = vid.shape[2]
+                    kps_pred = est(np.asarray(b)) / H  # -> relative coords
+                    kps_gt = np.asarray(
+                        batch["keypoints_rel"][:, 1:]).reshape(
+                        -1, *batch["keypoints_rel"].shape[2:])
+                    k = min(kps_pred.shape[1], kps_gt.shape[1])
+                    kps_errs.append(np.mean(
+                        (kps_pred[:, :k] - kps_gt[:, :k]) ** 2))
         best_ssim.append(np.max(per_sample["ssim"], axis=0))
         best_psnr.append(np.max(per_sample["psnr"], axis=0))
         best_lpips.append(np.min(per_sample["lpips"], axis=0))
@@ -171,6 +196,8 @@ def test_accuracy(experiment) -> Dict[str, float]:
         "psnr_best_of_n": float(np.mean(np.concatenate(best_psnr))),
         "lpips_best_of_n": float(np.mean(np.concatenate(best_lpips))),
     }
+    if kps_errs:
+        result["kps_mse"] = float(np.mean(kps_errs))
     d = _out_dir(experiment, "accuracy")
     with open(os.path.join(d, "metrics.json"), "w") as f:
         json.dump(result, f)
@@ -275,11 +302,15 @@ def test_control_sensitivity(experiment) -> Dict[str, float]:
         coords = np.asarray(batch["poke_coords"]) if "poke_coords" in batch \
             else None
         mag = np.linalg.norm(poke, axis=-1)
-        if coords is None:
-            flat = mag.reshape(B, -1).argmax(-1)
-            ys, xs = np.unravel_index(flat, (H, W))
-        else:
-            ys, xs = coords[:, 0, 0], coords[:, 0, 1]
+        flat = mag.reshape(B, -1).argmax(-1)
+        ys, xs = np.unravel_index(flat, (H, W))
+        ys, xs = np.asarray(ys), np.asarray(xs)
+        if coords is not None:
+            # zero-poke elements carry (-1, -1) centers — keep the argmax
+            # fallback for those
+            valid = coords[:, 0, 0] >= 0
+            ys = np.where(valid, coords[:, 0, 0], ys)
+            xs = np.where(valid, coords[:, 0, 1], xs)
         # phase per element: |flow| at a random above-mean-amplitude location
         # (reference :809-828)
         amp = np.linalg.norm(flow, axis=-1)
