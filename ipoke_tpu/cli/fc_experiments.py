@@ -489,7 +489,9 @@ class ThirdStageFCExperiment(Experiment):
         from ..models.third_stage import double_recon_weight_schedule
 
         if self.config["training"].get("recon_scaling", False):
-            self.state = double_recon_weight_schedule(self.state, epoch)
+            self.state = double_recon_weight_schedule(
+                self.state, epoch,
+                float(self.config["training"].get("weight_recon", 1.0)))
         return self._step(self.state, self.frozen, batch, self.next_rng())
 
     def export_weights(self, state):
@@ -680,7 +682,9 @@ class FlowMotionExperiment(Experiment):
         from ..models.third_stage import double_recon_weight_schedule
 
         if self.config["training"].get("recon_scaling", False):
-            self.state = double_recon_weight_schedule(self.state, epoch)
+            self.state = double_recon_weight_schedule(
+                self.state, epoch,
+                float(self.config["training"].get("weight_recon", 1.0)))
         return self._step(self.state, self.frozen, batch, self.next_rng())
 
     def export_weights(self, state):

@@ -180,8 +180,13 @@ def test_accuracy(experiment) -> Dict[str, float]:
                 pf_ssim.extend(np.asarray(ssim(a, b)).reshape(B, T))
                 pf_psnr.extend(np.asarray(psnr(a, b)).reshape(B, T))
                 if est is not None and "keypoints_rel" in batch:
-                    H = vid.shape[2]
-                    kps_pred = est(np.asarray(b)) / H  # -> relative coords
+                    # same per-axis normalization as the keypoints_rel
+                    # datakey (kps / spatial_size), so non-square sizes
+                    # compare consistently
+                    norm = np.asarray(
+                        experiment.config["data"]["spatial_size"],
+                        np.float32)
+                    kps_pred = est(np.asarray(b)) / norm
                     kps_gt = np.asarray(
                         batch["keypoints_rel"][:, 1:]).reshape(
                         -1, *batch["keypoints_rel"].shape[2:])
@@ -251,8 +256,9 @@ def test_diversity(experiment) -> Dict[str, float]:
 
 
 def _u8(img: np.ndarray) -> np.ndarray:
-    return np.clip((np.asarray(img, np.float32) + 1.0) * 127.5,
-                   0, 255).astype(np.uint8)
+    from ..utils.video import to_uint8
+
+    return to_uint8(np.asarray(img, np.float32))
 
 
 def _generated_motion_direction(x0_u8, xT_u8, y, x, win: int = 8):

@@ -269,8 +269,7 @@ class VideoDataset:
         frame_ids = [min(f, int(self.seq_end_id[start])) for f in frame_ids]
         fg_mask = None
         if fb_aug:
-            fg_mask = compute_grabcut_mask(
-                self._load_img(self.datadict["img_path"][frame_ids[0]]))
+            fg_mask = self._grabcut_cached(int(frame_ids[0]))
         frames = []
         for i, f in enumerate(frame_ids):
             img = self._load_img(self.datadict["img_path"][f])
@@ -329,8 +328,21 @@ class VideoDataset:
         (iPER/taichi)."""
         if self.use_flow_for_weights:
             return compute_flow_mask(flow)
-        img = self._load_img(self.datadict["img_path"][ids[0]])
-        return compute_grabcut_mask(img)
+        return self._grabcut_cached(int(ids[0]))
+
+    def _grabcut_cached(self, frame_idx: int) -> np.ndarray:
+        """grabCut is ~100ms of CPU per frame and deterministic — cache per
+        frame index so the hot loader path segments each start frame once
+        (not once per item per epoch, and not twice under fancy_aug)."""
+        cache = getattr(self, "_gc_cache", None)
+        if cache is None:
+            cache = self._gc_cache = {}
+        if frame_idx not in cache:
+            if len(cache) > 4096:
+                cache.clear()
+            img = self._load_img(self.datadict["img_path"][frame_idx])
+            cache[frame_idx] = compute_grabcut_mask(img)
+        return cache[frame_idx]
 
     def _get_poke(self, ids, rng, **kw):
         flow = self._load_flow((ids[0], 0))
@@ -526,7 +538,12 @@ class IperDataset(VideoDataset):
 
     def _set_instance_specific_values(self):
         self.keypoints = self.datadict.get("keypoints")
-        self.kp_nn = self.datadict.get("kp_nn")
+        # meta['kp_nn'] from prep indexes the FULL pre-split frame list; the
+        # datadict arrays here are split-subset, so those global ids would
+        # dereference the wrong frames (or overflow).  The reference computes
+        # the kinematics NN per split dataset (flow_dataset.py:790-808) —
+        # mirror that lazily from the split-local keypoints.
+        self.kp_nn = None
 
     def _get_keypoints(self, ids, rng, abs=True, **kw):
         if self.keypoints is None:
@@ -563,11 +580,17 @@ class IperDataset(VideoDataset):
         return poke, centers, np.asarray([k], np.int32)
 
     def _get_nn_index(self, ids, rng) -> int:
-        """Precomputed keypoint-NN retrieval (reference flow_dataset.py:513
-        ``nn_ids`` from ``meta_kp_nn.p``); random-other-video fallback when
-        pose prep hasn't run."""
-        if self.kp_nn is None:
+        """Keypoint-NN retrieval (reference flow_dataset.py:513 ``nn_ids``,
+        computed per split :790-808); random-other-video fallback when pose
+        prep hasn't run."""
+        if self.keypoints is None:
             return super()._get_nn_index(ids, rng)
+        if self.kp_nn is None:
+            from ..eval.pose import keypoint_nearest_neighbors
+
+            self.kp_nn = keypoint_nearest_neighbors(
+                np.asarray(self.keypoints, np.float32),
+                np.asarray(self.datadict["vid"]))
         return int(self.kp_nn[ids[0]])
 
 

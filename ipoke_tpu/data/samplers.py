@@ -157,24 +157,26 @@ class SequenceLengthSampler:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
-    def _draw(self, rng):
+    def _draw(self, rng, last):
+        """Next batch length: weighted draw when shuffling, else cycle
+        start..max_frames-1 wrapping (reference samplers.py:136-141)."""
         if self.n_frames is not None:
             return int(self.n_frames)
         if self.shuffle:
             return int(rng.choice(
                 np.arange(self.start, self.max_frames), p=self.len_p))
-        return self.start
+        return last + 1 if last < self.max_frames - 1 else self.start
 
     def __iter__(self):
         rng = np.random.default_rng((self.seed, self.epoch, 2))
         order = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
-        nf = self._draw(rng)
+        nf = self.start if not self.shuffle else self._draw(rng, self.start)
         batch = []
         for idx in order:
             batch.append((int(idx), nf))
             if len(batch) == self.batch_size:
                 yield batch
                 batch = []
-                nf = self._draw(rng)
+                nf = self._draw(rng, nf)
         if batch and not self.drop_last:
             yield batch

@@ -202,22 +202,22 @@ def diversity_score_lpips(lpips_params, samples) -> float:
     j != k of per-frame LPIPS).
 
     samples: (N, S, T, H, W, 3) in [-1, 1]."""
-    from ..nn.lpips import lpips
+    from ..nn.lpips import lpips_features, lpips_from_features
 
     samples = jnp.asarray(samples)
     n, s = samples.shape[:2]
-    frames = samples.reshape(n, s, -1, *samples.shape[3:])
 
-    @jax.jit
-    def pair(a, b):  # (N*T, H, W, 3) each
-        return jnp.mean(lpips(lpips_params, a, b))
+    feats_fn = jax.jit(lambda x: lpips_features(lpips_params, x))
+    head_fn = jax.jit(lambda fa, fb: jnp.mean(
+        lpips_from_features(lpips_params, fa, fb)))
 
+    # one VGG pass per sample index (O(s)); pairs reuse the feature stacks
+    feats = [feats_fn(samples[:, i].reshape(-1, *samples.shape[3:]))
+             for i in range(s)]
     total, cnt = 0.0, 0
     for i in range(s):
         for j in range(i + 1, s):
-            a = frames[:, i].reshape(-1, *samples.shape[3:])
-            b = frames[:, j].reshape(-1, *samples.shape[3:])
-            total += float(pair(a, b))
+            total += float(head_fn(feats[i], feats[j]))
             cnt += 1
     return total / max(cnt, 1)
 

@@ -315,8 +315,13 @@ def create_third_stage_state(rng, model, tx,
 
 
 def double_recon_weight_schedule(state: ThirdStageState, epoch: int,
-                                 every: int = 10) -> ThirdStageState:
-    """Reference third_stage_video_fc.py:197-199: x2 every 10th epoch."""
-    if epoch % every == every - 1:
-        return state.replace(weight_recon=state.weight_recon * 2.0)
-    return state
+                                 initial: float, every: int = 10
+                                 ) -> ThirdStageState:
+    """Reference third_stage_video_fc.py:197-199: x2 every 10th EPOCH.
+
+    Pure function of the epoch (weight = initial * 2^(epoch // every)), so
+    the per-batch fit loop may call it any number of times without
+    compounding — and resume lands on the right weight."""
+    return state.replace(
+        weight_recon=jnp.asarray(initial * 2.0 ** (epoch // every),
+                                 jnp.float32))

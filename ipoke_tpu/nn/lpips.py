@@ -67,21 +67,33 @@ def _pad3(x):
     return x
 
 
-def lpips(params, a, b) -> jnp.ndarray:
-    """(B,) learned perceptual distance; inputs (B, H, W, C) in [-1, 1],
-    C in {2 (flow; zero-padded), 3}."""
+def lpips_features(params, x):
+    """Channel-normalized VGG16 tap stack for one image batch — compute once
+    per sample, pair up with ``lpips_from_features`` (the full VGG forward is
+    the expensive part; pairwise metrics like the diversity score would
+    otherwise rerun it O(pairs) times)."""
     model = VGG16Features()
     shift = jnp.asarray(_SHIFT)
     scale = jnp.asarray(_SCALE)
-    fa = model.apply({"params": params["vgg"]}, (_pad3(a) - shift) / scale)
-    fb = model.apply({"params": params["vgg"]}, (_pad3(b) - shift) / scale)
+    taps = model.apply({"params": params["vgg"]}, (_pad3(x) - shift) / scale)
+    return [_normalize(t) for t in taps]
+
+
+def lpips_from_features(params, fa, fb) -> jnp.ndarray:
     total = 0.0
     for k, (xa, xb) in enumerate(zip(fa, fb)):
-        diff = (_normalize(xa) - _normalize(xb)) ** 2
+        diff = (xa - xb) ** 2
         w = params["lins"][k]  # (C,) 1x1 conv to 1 channel, no bias
         head = jnp.einsum("bhwc,c->bhw", diff, w)
         total = total + jnp.mean(head, axis=(1, 2))
     return total
+
+
+def lpips(params, a, b) -> jnp.ndarray:
+    """(B,) learned perceptual distance; inputs (B, H, W, C) in [-1, 1],
+    C in {2 (flow; zero-padded), 3}."""
+    return lpips_from_features(params, lpips_features(params, a),
+                               lpips_features(params, b))
 
 
 def init_lpips_params(seed: int = 0):

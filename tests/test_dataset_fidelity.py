@@ -166,3 +166,31 @@ def test_flow_path_frame_gaps_parser():
     gaps = flow_path_frame_gaps(
         ["a/prediction_3_13.flow.npy", "a/prediction_0_4.flow.npy"])
     np.testing.assert_array_equal(gaps, [10, 4])
+
+
+def test_iper_nn_index_is_split_local():
+    """The kinematics NN must be computed WITHIN the split from split-local
+    keypoints (reference flow_dataset.py:790-808); meta['kp_nn'] from prep
+    indexes the pre-split frame list and must not leak through."""
+    meta = _meta(n_videos=4, frames_per_video=6)
+    n = len(meta["img_path"])
+    rng = np.random.default_rng(0)
+    kps = rng.normal(size=(n, 5, 2)).astype(np.float32)
+    meta["keypoints"] = kps
+    # poisoned global nn ids: out of range for any split
+    meta["kp_nn"] = np.full(n, n + 100, np.int64)
+
+    cfg = dict(CFG, filter_flow=False)
+    tr = IperDataset(cfg, ["images"], train=True, meta=meta)
+    idx_rng = np.random.default_rng(1)
+    got = tr._get_nn_index((0, 0), idx_rng)
+    assert 0 <= got < len(tr), "nn index must be split-local"
+    # matches an independent recomputation over the split's keypoints
+    from ipoke_tpu.eval.pose import keypoint_nearest_neighbors
+
+    expected = keypoint_nearest_neighbors(
+        np.asarray(tr.keypoints, np.float32),
+        np.asarray(tr.datadict["vid"]))
+    assert got == int(expected[0])
+    # and the retrieved neighbor is in a different video
+    assert tr.datadict["vid"][got] != tr.datadict["vid"][0]

@@ -145,3 +145,10 @@ def test_sequence_samplers():
     assert [b for b in sl] != list(iter(SequenceLengthSampler(
         dataset_len=12, max_frames=5, batch_size=3, zero_poke=True,
         zeropoke_weight=2.0, longest_seq_weight=3.0, seed=1)))
+
+    # non-shuffle mode cycles lengths start..max_frames-1 wrapping
+    # (reference samplers.py:136-141), not a constant length
+    sl2 = SequenceLengthSampler(dataset_len=18, max_frames=3, batch_size=2,
+                                shuffle=False, zero_poke=True)
+    lens = [b[0][1] for b in sl2]
+    assert lens == [-1, 0, 1, 2, -1, 0, 1, 2, -1]

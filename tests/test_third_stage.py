@@ -151,9 +151,17 @@ def test_third_stage_fc_bridge():
     assert flow.shape == (2, 64, 64, 2)
     assert residual.shape == (2, D - 8)
 
-    # recon-weight doubling schedule
+    # recon-weight doubling schedule: pure function of the epoch so the
+    # per-batch fit loop can call it repeatedly without compounding
     w0 = float(state.weight_recon)
-    state = double_recon_weight_schedule(state, epoch=9, every=10)
+    for _ in range(5):  # 5 batches of epoch 3 -> unchanged
+        state = double_recon_weight_schedule(state, epoch=3, initial=w0,
+                                             every=10)
+    assert float(state.weight_recon) == w0
+    for _ in range(5):  # 5 batches of epoch 10 -> exactly one doubling
+        state = double_recon_weight_schedule(state, epoch=10, initial=w0,
+                                             every=10)
     assert float(state.weight_recon) == 2 * w0
-    state = double_recon_weight_schedule(state, epoch=10, every=10)
-    assert float(state.weight_recon) == 2 * w0
+    state = double_recon_weight_schedule(state, epoch=25, initial=w0,
+                                         every=10)
+    assert float(state.weight_recon) == 4 * w0
