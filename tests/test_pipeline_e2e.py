@@ -191,6 +191,25 @@ def test_full_three_stage_pipeline(pipeline_env):
     for key in ("divscore_mse", "divscore_vgg", "divscore_lpips"):
         assert np.isfinite(div[key]), key
 
+    # --test accuracy: best-of-n SSIM/PSNR/LPIPS + per-frame CSV
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "accuracy"], base)
+    adir = os.path.join(base, "second_stage/generated/tiny/accuracy")
+    with open(os.path.join(adir, "metrics.json")) as f:
+        acc = json.load(f)
+    for key in ("ssim_best_of_n", "psnr_best_of_n", "lpips_best_of_n"):
+        assert np.isfinite(acc[key]), key
+    assert os.path.exists(os.path.join(adir, "per_frame_metrics.csv"))
+
+    # --test kps_acc (no keypoint metadata -> posenet on real vs fake)
+    _run_main(["--config", ss_path, "--model_name", "tiny",
+               "--data_root", data_root, "--test", "kps_acc"], base)
+    with open(os.path.join(
+            base, "second_stage/generated/tiny/kps_acc/metrics.json")) as f:
+        kps = json.load(f)
+    assert np.isfinite(kps["kps_mse"])
+    assert kps["annotated_keypoints"] == 0.0
+
 
 def test_fc_flow_encoder_and_third_stage(pipeline_env):
     """Fork pipeline: flow_encoder_fc (BigGAN-AE) + flow_motion third stage
