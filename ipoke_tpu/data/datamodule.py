@@ -128,15 +128,19 @@ class ThreadedLoader:
             stop.set()
 
 
-def device_prefetch(it, device=None):
-    """Overlap host->device transfer with compute (simple 1-deep pipeline)."""
+def device_prefetch(it, device=None, depth: int = 2):
+    """Overlap host->device transfer with compute: keep up to ``depth``
+    batches in flight (device_put is async — the transfers stream while the
+    consumer computes on earlier batches; depth 2 double-buffers 128px
+    batches without pinning excessive HBM)."""
+    import collections
+
     import jax
 
-    pending = None
+    q = collections.deque()
     for batch in it:
-        nxt = jax.device_put(batch, device)
-        if pending is not None:
-            yield pending
-        pending = nxt
-    if pending is not None:
-        yield pending
+        q.append(jax.device_put(batch, device))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
