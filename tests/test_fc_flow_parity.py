@@ -23,7 +23,8 @@ C, CC, HID, DEPTH, NFLOWS, B = 8, 6, 32, 1, 5, 4
 
 @pytest.fixture(scope="module")
 def oracle():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.INN.flow_blocks import ConditionalFlow

@@ -25,7 +25,8 @@ pytestmark = pytest.mark.skipif(
 def test_vgg19_feature_and_loss_parity(tmp_path):
     from _fake_torchvision import install_fake_torchvision
 
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     install_fake_torchvision()
     import torch
 
@@ -87,7 +88,8 @@ def _load_ref_i3d_classes():
 
 
 def test_i3d_logits_parity(tmp_path):
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     I3DRef = _load_ref_i3d_classes()

@@ -24,7 +24,8 @@ DT = 0.7
 
 @pytest.fixture(scope="module")
 def oracle():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.INN.flow_blocks import UnconditionalExtendedLeapFlow

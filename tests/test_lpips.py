@@ -23,7 +23,8 @@ pytestmark = pytest.mark.skipif(
 def test_lpips_torch_parity(channels, tmp_path):
     from _fake_torchvision import install_fake_torchvision
 
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     install_fake_torchvision()
     import torch
     import torch.nn.functional as F

@@ -30,7 +30,8 @@ def test_pose_resnet_torch_parity():
     """Oracle heatmap parity vs the reference pose_resnet.py with a ported
     random-init state_dict — proves the conversion path so real COCO
     pose_resnet152 weights drop in (VERDICT r1 missing #2)."""
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.pose_estimator.lib.models.pose_resnet import (

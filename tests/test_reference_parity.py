@@ -23,7 +23,8 @@ HIDDEN = 32
 
 @pytest.fixture(scope="module")
 def oracle():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.INN.macow2 import MaCowStep, MultiScaleInternal
@@ -84,7 +85,8 @@ def test_ported_weights_match_reference_forward_and_logdet(oracle):
 
 
 def test_ported_conv_encoder_matches_reference():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.autoencoders.fully_conv_models import (
@@ -116,7 +118,8 @@ def test_ported_conv_encoder_matches_reference():
 
 
 def test_ported_variational_conv_encoder_mean_matches():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.autoencoders.fully_conv_models import (
@@ -151,7 +154,8 @@ def test_ported_variational_conv_encoder_mean_matches():
 
 
 def test_ported_motion_encoder_matches_reference():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.motion_models.motion_encoder import (
@@ -195,7 +199,8 @@ def test_ported_motion_encoder_matches_reference():
 
 
 def test_ported_spade_decoder_matches_reference(monkeypatch):
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     # the reference Spade hardcodes .cuda() (util.py:496); run CPU-only
@@ -237,7 +242,8 @@ def test_ported_spade_decoder_matches_reference(monkeypatch):
 
 
 def test_ported_conv_gru_matches_reference():
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     from models.modules.motion_models.rnn import ConvGRU as RefConvGRU
@@ -272,7 +278,8 @@ def test_ported_first_stage_decode_rollout_matches(monkeypatch):
     """End-to-end first-stage sampling parity: motion latent -> ConvGRU
     rollout -> SPADE decode, composed exactly like the reference
     (first_stage_motion_model.py:497-521)."""
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     monkeypatch.setattr(torch.Tensor, "cuda",
@@ -345,7 +352,8 @@ def test_full_second_stage_sampling_parity(monkeypatch):
     """THE end-to-end parity test: z ~ base -> cINN inverse (conditioned on
     ported encoders) -> ConvGRU+SPADE rollout, our SecondStageModel vs a
     manual composition of the reference's own modules with the same z."""
-    sys.path.insert(0, REF)
+    if REF not in sys.path:
+        sys.path.append(REF)  # APPEND: REF at path[0] would shadow the repo's main.py
     import torch
 
     monkeypatch.setattr(torch.Tensor, "cuda",
