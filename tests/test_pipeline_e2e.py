@@ -233,6 +233,22 @@ def test_fc_flow_encoder_and_third_stage(pipeline_env):
     assert os.path.isdir(
         os.path.join(base, "flow_encoder_fc/ckpt/tiny/0/last_weights"))
 
+    # train the ConvFlowVAE so flow_motion composes a REAL frozen VAE
+    fv_cfg = {
+        "general": {"experiment": "flow_vae", "seed": 1, "debug": True},
+        "data": DATA,
+        # min_spatial_size must match the second stage's (4) — flow_motion
+        # rebuilds the VAE at ss_model.min_spatial_size before restoring
+        "architecture": {"flow_vae_channels": 4, "flow_vae_nf_max": 16,
+                         "min_spatial_size": 4},
+        "training": {"lr": 1e-3, "n_epochs": 1, "kl_weight": 1e-6},
+    }
+    path = _write_cfg(root / "fv.yaml", fv_cfg)
+    _run_main(["--config", path, "--model_name", "tiny",
+               "--data_root", data_root], base)
+    fv_ckpt = os.path.join(base, "flow_vae/ckpt/tiny/0")
+    assert os.path.isdir(os.path.join(fv_ckpt, "last_weights"))
+
     fm_cfg = {
         "general": {"experiment": "flow_motion", "seed": 1, "debug": True},
         "first_stage": {
@@ -248,7 +264,7 @@ def test_fc_flow_encoder_and_third_stage(pipeline_env):
         "second_stage": {
             "config": os.path.join(base, "second_stage/config/tiny/0.yaml"),
             "ckpt": os.path.join(base, "second_stage/ckpt/tiny/0")},
-        "flow_vae": {"ckpt": None},
+        "flow_vae": {"ckpt": fv_ckpt},
         "data": DATA,
         "architecture": {"num_steps": [1], "flow_mid_channels_factor": 2,
                          "factor": 4, "flow_vae_channels": 4,
