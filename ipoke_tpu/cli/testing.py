@@ -146,13 +146,10 @@ def test_accuracy(experiment) -> Dict[str, float]:
     dset = experiment.datamodule.dset_test
     est = None
     if getattr(dset, "keypoints", None) is not None:
-        from ..eval.pose import PoseEstimator, load_torch_pose_resnet_npz
+        from ..eval.pose import pose_estimator_from_env
 
-        wpath = os.environ.get("IPOKE_POSE_WEIGHTS")
-        est = PoseEstimator(
-            input_size=experiment.config["data"]["spatial_size"][0],
-            variables=load_torch_pose_resnet_npz(wpath) if wpath else None,
-            layers=(3, 8, 36, 3) if wpath else (3, 4, 6, 3))
+        est = pose_estimator_from_env(
+            experiment.config["data"]["spatial_size"][0])
         for k in ("keypoints_rel",):
             if k not in dset.datakeys:
                 dset.datakeys.append(k)
@@ -466,20 +463,13 @@ def test_kps_acc(experiment) -> Dict[str, float]:
     the target trajectory (reference ``_test_step_kps_acc``,
     second_stage_video.py:772-794).  Needs keypoint metadata (pose prep) —
     falls back to the standard poke key when absent."""
-    from ..eval.pose import (
-        PoseEstimator,
-        keypoint_mse,
-        load_torch_pose_resnet_npz,
-    )
+    from ..eval.pose import keypoint_mse, pose_estimator_from_env
 
     _restore_trained(experiment)
-    # real COCO pose_resnet152 weights when provided (acquisition recipe in
-    # eval/pose.py::load_torch_pose_resnet_npz)
-    wpath = os.environ.get("IPOKE_POSE_WEIGHTS")
-    est = PoseEstimator(
-        input_size=experiment.config["data"]["spatial_size"][0],
-        variables=load_torch_pose_resnet_npz(wpath) if wpath else None,
-        layers=(3, 8, 36, 3) if wpath else (3, 4, 6, 3))
+    # real COCO pose_resnet152 weights when IPOKE_POSE_WEIGHTS is set
+    # (acquisition recipe in eval/pose.py::load_torch_pose_resnet_npz)
+    est = pose_estimator_from_env(
+        experiment.config["data"]["spatial_size"][0])
     sample = _sample_fn(experiment)
     dset = experiment.datamodule.dset_test
     has_kp = getattr(dset, "keypoints", None) is not None

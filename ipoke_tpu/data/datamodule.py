@@ -140,7 +140,7 @@ def device_prefetch(it, device=None, depth: int = 2):
     q = collections.deque()
     for batch in it:
         q.append(jax.device_put(batch, device))
-        if len(q) > depth:
+        if len(q) >= depth:
             yield q.popleft()
     while q:
         yield q.popleft()

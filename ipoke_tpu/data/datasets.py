@@ -542,8 +542,16 @@ class IperDataset(VideoDataset):
         # datadict arrays here are split-subset, so those global ids would
         # dereference the wrong frames (or overflow).  The reference computes
         # the kinematics NN per split dataset (flow_dataset.py:790-808) —
-        # mirror that lazily from the split-local keypoints.
+        # mirror that from the split-local keypoints, EAGERLY at init when
+        # the nn datakey is requested (the loader's thread pool must never
+        # race to compute it on the hot path).
         self.kp_nn = None
+        if self.keypoints is not None and "nn" in self.datakeys:
+            from ..eval.pose import keypoint_nearest_neighbors
+
+            self.kp_nn = keypoint_nearest_neighbors(
+                np.asarray(self.keypoints, np.float32),
+                np.asarray(self.datadict["vid"]))
 
     def _get_keypoints(self, ids, rng, abs=True, **kw):
         if self.keypoints is None:
@@ -582,15 +590,23 @@ class IperDataset(VideoDataset):
     def _get_nn_index(self, ids, rng) -> int:
         """Keypoint-NN retrieval (reference flow_dataset.py:513 ``nn_ids``,
         computed per split :790-808); random-other-video fallback when pose
-        prep hasn't run."""
+        prep hasn't run.  Normally precomputed at init; the lazy path (a
+        caller appended 'nn' to datakeys post-construction, e.g. --test
+        transfer) is serialized so loader threads can't duplicate the
+        computation."""
         if self.keypoints is None:
             return super()._get_nn_index(ids, rng)
         if self.kp_nn is None:
-            from ..eval.pose import keypoint_nearest_neighbors
+            import threading
 
-            self.kp_nn = keypoint_nearest_neighbors(
-                np.asarray(self.keypoints, np.float32),
-                np.asarray(self.datadict["vid"]))
+            lock = self.__dict__.setdefault("_nn_lock", threading.Lock())
+            with lock:
+                if self.kp_nn is None:
+                    from ..eval.pose import keypoint_nearest_neighbors
+
+                    self.kp_nn = keypoint_nearest_neighbors(
+                        np.asarray(self.keypoints, np.float32),
+                        np.asarray(self.datadict["vid"]))
         return int(self.kp_nn[ids[0]])
 
 

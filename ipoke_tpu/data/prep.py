@@ -171,33 +171,12 @@ def pose_estimation(processed_dir: str, meta_path: Optional[str] = None,
     ``prepare_dataset.py:461-516`` -> ``meta_kp_nn.p``)."""
     import cv2
 
-    from ..eval.pose import (
-        PoseEstimator,
-        keypoint_nearest_neighbors,
-        load_torch_pose_resnet_npz,
-    )
+    from ..eval.pose import keypoint_nearest_neighbors, pose_estimator_from_env
 
     meta_path = meta_path or os.path.join(processed_dir, "meta.p")
     with open(meta_path, "rb") as f:
         meta = pickle.load(f)
-    # same env contract as the test modes: IPOKE_POSE_WEIGHTS points at a
-    # converted pose_resnet152 npz, which requires the (3,8,36,3) topology —
-    # defaulting to resnet50 with a 152 param tree would silently run a
-    # truncated network (flax only looks up the submodules it uses)
-    wpath = os.environ.get("IPOKE_POSE_WEIGHTS")
-    if pose_params is None and wpath:
-        pose_params = load_torch_pose_resnet_npz(wpath)
-    if pose_params is not None:
-        # infer the stage plan from the param tree so a mismatched default
-        # can never truncate the network
-        p = pose_params["params"]
-        layers = tuple(
-            max(int(k.split("_")[1]) for k in p if k.startswith(f"layer{s}_"))
-            + 1 for s in (1, 2, 3, 4))
-    else:
-        layers = (3, 4, 6, 3)
-    est = PoseEstimator(variables=pose_params, input_size=input_size,
-                        layers=layers)
+    est = pose_estimator_from_env(input_size, variables=pose_params)
     paths = [os.path.join(processed_dir, str(p)) for p in meta["img_path"]]
     kps_all = []
     for i in range(0, len(paths), batch_size):
@@ -209,6 +188,10 @@ def pose_estimation(processed_dir: str, meta_path: Optional[str] = None,
         kps_all.append(est(np.stack(frames)))
     kps = np.concatenate(kps_all, axis=0)
     meta["keypoints"] = kps
+    # global (pre-split) NN ids: a meta_kp_nn.p parity artifact (the
+    # reference writes the same, prepare_dataset.py:461-516).  Datasets do
+    # NOT consume it — they recompute per split (datasets.py) because these
+    # indices don't survive split subsetting; chunked, so it stays cheap.
     meta["kp_nn"] = keypoint_nearest_neighbors(
         kps, np.asarray(meta["vid"]))
     out_path = os.path.join(processed_dir, "meta_kp_nn.p")

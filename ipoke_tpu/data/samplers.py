@@ -170,7 +170,9 @@ class SequenceLengthSampler:
     def __iter__(self):
         rng = np.random.default_rng((self.seed, self.epoch, 2))
         order = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
-        nf = self.start if not self.shuffle else self._draw(rng, self.start)
+        # first batch: fixed n_frames always wins (reference :130 overrides
+        # every element); non-shuffle cycling starts at self.start
+        nf = self._draw(rng, self.start - 1)
         batch = []
         for idx in order:
             batch.append((int(idx), nf))

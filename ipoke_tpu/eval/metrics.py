@@ -204,20 +204,34 @@ def diversity_score_lpips(lpips_params, samples) -> float:
     samples: (N, S, T, H, W, 3) in [-1, 1]."""
     from ..nn.lpips import lpips_features, lpips_from_features
 
-    samples = jnp.asarray(samples)
+    samples = np.asarray(samples)
     n, s = samples.shape[:2]
+    frames = samples.reshape(n, s, -1, *samples.shape[3:])
+    n_frames = frames.shape[2]
 
     feats_fn = jax.jit(lambda x: lpips_features(lpips_params, x))
-    head_fn = jax.jit(lambda fa, fb: jnp.mean(
+    head_fn = jax.jit(lambda fa, fb: jnp.sum(
         lpips_from_features(lpips_params, fa, fb)))
 
-    # one VGG pass per sample index (O(s)); pairs reuse the feature stacks
-    feats = [feats_fn(samples[:, i].reshape(-1, *samples.shape[3:]))
-             for i in range(s)]
+    # One VGG pass per (sample index, frame chunk) — O(s) passes like the
+    # factored form, but only `s` CHUNK-sized feature stacks are resident at
+    # once (holding all full-length stacks would be ~GBs at 128px).
+    chunk = max(1, 256 // max(n, 1))
+    pair_sums = np.zeros((s, s))
+    count = 0
+    for f0 in range(0, n_frames, chunk):
+        f1 = min(f0 + chunk, n_frames)
+        block = frames[:, :, f0:f1]
+        feats = [feats_fn(jnp.asarray(
+            block[:, i].reshape(-1, *samples.shape[3:]))) for i in range(s)]
+        for i in range(s):
+            for j in range(i + 1, s):
+                pair_sums[i, j] += float(head_fn(feats[i], feats[j]))
+        count += (f1 - f0) * n
     total, cnt = 0.0, 0
     for i in range(s):
         for j in range(i + 1, s):
-            total += float(head_fn(feats[i], feats[j]))
+            total += pair_sums[i, j] / max(count, 1)
             cnt += 1
     return total / max(cnt, 1)
 

@@ -144,16 +144,52 @@ def keypoint_mse(kps_a: np.ndarray, kps_b: np.ndarray,
     return np.mean(np.sum(d**2, axis=-1), axis=-1)
 
 
-def keypoint_nearest_neighbors(kps: np.ndarray, exclude_same: np.ndarray
-                               ) -> np.ndarray:
+def pose_estimator_from_env(input_size: int,
+                            variables: Optional[Any] = None
+                            ) -> "PoseEstimator":
+    """The one place that resolves pose weights: explicit ``variables``, else
+    ``IPOKE_POSE_WEIGHTS`` (converted pose_resnet152 npz), else fixed-seed
+    resnet50.  The stage plan is INFERRED from the param tree, so a
+    mismatched default can never silently truncate the network (flax apply
+    only looks up the submodules it uses)."""
+    import os
+
+    if variables is None:
+        wpath = os.environ.get("IPOKE_POSE_WEIGHTS")
+        if wpath:
+            variables = load_torch_pose_resnet_npz(wpath)
+    if variables is not None:
+        p = variables["params"]
+        layers = tuple(
+            max(int(k.split("_")[1]) for k in p if k.startswith(f"layer{s}_"))
+            + 1 for s in (1, 2, 3, 4))
+    else:
+        layers = (3, 4, 6, 3)
+    return PoseEstimator(variables=variables, input_size=input_size,
+                         layers=layers)
+
+
+def keypoint_nearest_neighbors(kps: np.ndarray, exclude_same: np.ndarray,
+                               chunk: int = 1024) -> np.ndarray:
     """For each sample, the index of its keypoint-space nearest neighbor with
     a different group id (reference data prep ``meta_kp_nn.p``,
-    prepare_dataset.py:461-516)."""
-    flat = kps.reshape(kps.shape[0], -1)
-    d = np.linalg.norm(flat[:, None] - flat[None, :], axis=-1)
-    same = exclude_same[:, None] == exclude_same[None, :]
-    d[same] = np.inf
-    return np.argmin(d, axis=1)
+    prepare_dataset.py:461-516; the reference chunks this per-id over 70
+    workers, flow_dataset.py:780-808).
+
+    Row-chunked: memory is O(chunk * n) instead of the dense (n, n, 2K)
+    difference tensor (which is petabytes at real iPER scale)."""
+    flat = kps.reshape(kps.shape[0], -1).astype(np.float64)
+    n = flat.shape[0]
+    sq = np.sum(flat**2, axis=1)
+    out = np.empty(n, np.int64)
+    groups = np.asarray(exclude_same)
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        # |a-b|^2 = |a|^2 + |b|^2 - 2ab
+        d2 = sq[i0:i1, None] + sq[None, :] - 2.0 * (flat[i0:i1] @ flat.T)
+        d2[groups[i0:i1, None] == groups[None, :]] = np.inf
+        out[i0:i1] = np.argmin(d2, axis=1)
+    return out
 
 
 # ---------------------------------------------------------------------------

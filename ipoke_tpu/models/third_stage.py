@@ -317,11 +317,13 @@ def create_third_stage_state(rng, model, tx,
 def double_recon_weight_schedule(state: ThirdStageState, epoch: int,
                                  initial: float, every: int = 10
                                  ) -> ThirdStageState:
-    """Reference third_stage_video_fc.py:197-199: x2 every 10th EPOCH.
+    """Reference third_stage_video_fc.py:197-199: x2 at the START of every
+    epoch with ``epoch % every == every - 1`` — so the weight is 2x initial
+    DURING epochs 9-18, 4x during 19-28, ... == initial * 2^((epoch+1)//10).
 
-    Pure function of the epoch (weight = initial * 2^(epoch // every)), so
-    the per-batch fit loop may call it any number of times without
-    compounding — and resume lands on the right weight."""
+    Pure function of the epoch, so the per-batch fit loop may call it any
+    number of times without compounding — and resume lands on the right
+    weight."""
     return state.replace(
-        weight_recon=jnp.asarray(initial * 2.0 ** (epoch // every),
+        weight_recon=jnp.asarray(initial * 2.0 ** ((epoch + 1) // every),
                                  jnp.float32))

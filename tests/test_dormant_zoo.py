@@ -152,3 +152,9 @@ def test_sequence_samplers():
                                 shuffle=False, zero_poke=True)
     lens = [b[0][1] for b in sl2]
     assert lens == [-1, 0, 1, 2, -1, 0, 1, 2, -1]
+
+    # a fixed n_frames overrides every batch incl. the first
+    # (reference :130)
+    sl3 = SequenceLengthSampler(dataset_len=8, max_frames=5, batch_size=2,
+                                shuffle=False, zero_poke=True, n_frames=4)
+    assert [b[0][1] for b in sl3] == [4] * 4

@@ -152,16 +152,24 @@ def test_third_stage_fc_bridge():
     assert residual.shape == (2, D - 8)
 
     # recon-weight doubling schedule: pure function of the epoch so the
-    # per-batch fit loop can call it repeatedly without compounding
+    # per-batch fit loop can call it repeatedly without compounding; the
+    # reference doubles at the START of epoch 9/19/... (epoch % 10 == 9), so
+    # the weight is already 2x DURING epoch 9
     w0 = float(state.weight_recon)
     for _ in range(5):  # 5 batches of epoch 3 -> unchanged
         state = double_recon_weight_schedule(state, epoch=3, initial=w0,
                                              every=10)
     assert float(state.weight_recon) == w0
-    for _ in range(5):  # 5 batches of epoch 10 -> exactly one doubling
-        state = double_recon_weight_schedule(state, epoch=10, initial=w0,
+    state = double_recon_weight_schedule(state, epoch=8, initial=w0,
+                                         every=10)
+    assert float(state.weight_recon) == w0
+    for _ in range(5):  # 5 batches of epoch 9 -> exactly one doubling
+        state = double_recon_weight_schedule(state, epoch=9, initial=w0,
                                              every=10)
     assert float(state.weight_recon) == 2 * w0
-    state = double_recon_weight_schedule(state, epoch=25, initial=w0,
+    state = double_recon_weight_schedule(state, epoch=18, initial=w0,
+                                         every=10)
+    assert float(state.weight_recon) == 2 * w0
+    state = double_recon_weight_schedule(state, epoch=19, initial=w0,
                                          every=10)
     assert float(state.weight_recon) == 4 * w0
