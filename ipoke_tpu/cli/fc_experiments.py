@@ -401,22 +401,39 @@ class ThirdStageFCExperiment(Experiment):
                 {"params": ss_params}, weights=True)["params"]
         self.ss_params = ss_params
 
-        # frozen BigAE flow encoder
+        # frozen BigAE flow encoder: the repo's TPU-first BigAE (trained
+        # with flow_encoder_fc), or a CARRIED reference FCAE checkpoint via
+        # flow_encoder.torch_compat_npz (models/biggan_compat.py)
         fe_sec = cfg["flow_encoder"]
-        fe_cfg = load_config(fe_sec["config"]) if isinstance(
-            fe_sec.get("config"), str) else Config(fe_sec["config"])
-        self.flow_encoder = build_big_ae(fe_cfg)
-        s = fe_cfg["data"]["spatial_size"][0]
-        c = fe_cfg["architecture"].get("n_out_channels", 2)
-        v = self.flow_encoder.init(
-            {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, s, s, c)),
-            rng=jax.random.PRNGKey(2))
-        fe_state = {"params": v["params"], "stats": {}}
-        if fe_sec.get("ckpt"):
-            fe_state = CheckpointStore(fe_sec["ckpt"]).restore_best(
-                fe_state, weights=True)
-        frozen["flow_enc"] = FrozenBundle(fe_state["params"],
-                                          fe_state["stats"])
+        if fe_sec.get("torch_compat_npz"):
+            from ..models.biggan_compat import (
+                BigAECompat,
+                load_torch_bigae_npz,
+            )
+
+            variables = load_torch_bigae_npz(
+                fe_sec["torch_compat_npz"], int(fe_sec["z_dim"]),
+                enc_type=fe_sec.get("type", "resnet101"))
+            self.flow_encoder = BigAECompat(
+                int(fe_sec["z_dim"]), enc_type=fe_sec.get("type",
+                                                          "resnet101"),
+                in_channels=int(fe_sec.get("n_in_channels", 2)))
+            frozen["flow_enc"] = FrozenBundle(variables, {})
+        else:
+            fe_cfg = load_config(fe_sec["config"]) if isinstance(
+                fe_sec.get("config"), str) else Config(fe_sec["config"])
+            self.flow_encoder = build_big_ae(fe_cfg)
+            s = fe_cfg["data"]["spatial_size"][0]
+            c = fe_cfg["architecture"].get("n_out_channels", 2)
+            v = self.flow_encoder.init(
+                {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, s, s, c)),
+                rng=jax.random.PRNGKey(2))
+            fe_state = {"params": v["params"], "stats": {}}
+            if fe_sec.get("ckpt"):
+                fe_state = CheckpointStore(fe_sec["ckpt"]).restore_best(
+                    fe_state, weights=True)
+            frozen["flow_enc"] = FrozenBundle(fe_state["params"],
+                                              fe_state["stats"])
         self.frozen = frozen
 
         arch = dict(cfg["architecture"])
@@ -457,7 +474,6 @@ class ThirdStageFCExperiment(Experiment):
 
         from ..eval.metrics import optical_flow_metrics
         from ..flows import flow_loss
-        from ..models.big_ae import BigAE as _BigAE
 
         def _val(params, frozen, batch, rng):
             r1, r2, r3 = jax.random.split(rng, 3)
@@ -474,9 +490,7 @@ class ThirdStageFCExperiment(Experiment):
             z_seed = out_hat.reshape(out_hat.shape[0], -1)
             flow_hat, _ = self.model.forward_sample_flow(
                 params, frozen, batch, r3, h, z=z_seed)
-            mu, _ = self.flow_encoder.apply(
-                {"params": frozen["flow_enc"].params}, batch["flow"],
-                method=_BigAE.encode)
+            mu, _ = self.model.encode_flow(frozen, batch["flow"])
             flow_ref = self.model.decode_flow_latent(frozen, mu)
             m = optical_flow_metrics(flow_hat, flow_ref)
             m["flow_loss"] = loss

@@ -233,15 +233,32 @@ class ThirdStageFC:
     def init(self, rng):
         return {"inn": self.inn.init(rng, (1, self.z_total))}
 
+    def encode_flow(self, frozen, x):
+        """Encoder indirection: the repo's flax BigAE (apply with
+        method=...) or a ported reference FCAE (models/biggan_compat.py
+        BigAECompat — its variables dict rides in the bundle's params)."""
+        if hasattr(self.flow_encoder, "apply"):
+            return self.flow_encoder.apply(
+                {"params": frozen["flow_enc"].params}, x,
+                method=BigAE.encode)
+        return self.flow_encoder.encode(frozen["flow_enc"].params, x)
+
+    def decode_flow_latent(self, frozen, z_flow):
+        """Flow decode (for sampling + the EE metrics against the
+        AE-reconstructed ground truth, reference third_stage_video_fc.py
+        :341-347)."""
+        if hasattr(self.flow_encoder, "apply"):
+            return self.flow_encoder.apply(
+                {"params": frozen["flow_enc"].params}, z_flow,
+                method=BigAE.decode)
+        return self.flow_encoder.decode(frozen["flow_enc"].params, z_flow)
+
     def make_flow_input(self, frozen, batch, rng, reverse=False):
         if reverse:
             b = batch["flow"].shape[0]
             return jax.random.normal(rng, (b, self.z_total))
         r1, r2 = jax.random.split(rng)
-        mu, logvar = self.flow_encoder.apply(
-            {"params": frozen["flow_enc"].params}, batch["flow"],
-            method=BigAE.encode,
-        )
+        mu, logvar = self.encode_flow(frozen, batch["flow"])
         z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(r1, mu.shape)
         rest = self.z_total - self.z_flow
         if rest:
@@ -261,20 +278,8 @@ class ThirdStageFC:
         if z is None:
             z = self.make_flow_input(frozen, batch, rng, reverse=True)
         out = self.inn.inverse(params["inn"], z, h)
-        flow = self.flow_encoder.apply(
-            {"params": frozen["flow_enc"].params}, out[:, : self.z_flow],
-            method=BigAE.decode,
-        )
+        flow = self.decode_flow_latent(frozen, out[:, : self.z_flow])
         return flow, out[:, self.z_flow :]
-
-    def decode_flow_latent(self, frozen, z_flow):
-        """BigAE decode of a flow latent (for EE metrics against the
-        AE-reconstructed ground truth, reference third_stage_video_fc.py
-        :341-347)."""
-        return self.flow_encoder.apply(
-            {"params": frozen["flow_enc"].params}, z_flow,
-            method=BigAE.decode,
-        )
 
 
 def make_third_stage_fc_train_step(model: ThirdStageFC, tx,

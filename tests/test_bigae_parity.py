@@ -94,3 +94,42 @@ def test_bigae_decoder_parity(oracle):
     np.testing.assert_allclose(
         np.asarray(dec), np.transpose(oracle["dec"], (0, 2, 3, 1)),
         atol=5e-3, rtol=1e-3)
+
+
+def test_third_stage_fc_composes_bigae_compat():
+    """ThirdStageFC's encoder indirection drives a carried FCAE (BigAECompat)
+    end to end: density forward + residual-seeded flow hallucination."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipoke_tpu.models.biggan_compat import (
+        BigAECompat,
+        TorchBigGANDecoder64,
+        TorchResnetEncoder,
+    )
+    from ipoke_tpu.models.second_stage import FrozenBundle
+    from ipoke_tpu.models.third_stage import ThirdStageFC
+
+    z_dim, s = 48, 64
+    compat = BigAECompat(z_dim, enc_type="resnet18", in_channels=2, chn=8)
+    enc_v = TorchResnetEncoder(z_dim, "resnet18", 2).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, 2)))
+    dec_v = TorchBigGANDecoder64(z_dim, chn=8, n_channels=2).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, z_dim)))
+    frozen = {"flow_enc": FrozenBundle(
+        {"encoder": enc_v, "decoder": dec_v}, {})}
+
+    cfg = {"architecture": {"flow_in_channels": z_dim + 8,
+                            "flow_mid_channels_factor": 2,
+                            "flow_hidden_depth": 1, "n_flows": 4}}
+    model = ThirdStageFC(cfg, compat, second_stage_density=None)
+    params = model.init(jax.random.PRNGKey(2))
+    batch = {"flow": jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, size=(2, s, s, 2)).astype(np.float32))}
+    out, ld = model.forward_density(params, frozen, batch,
+                                    jax.random.PRNGKey(3))
+    assert out.shape == (2, z_dim + 8) and np.isfinite(np.asarray(out)).all()
+    flow, rest = model.forward_sample_flow(params, frozen, batch,
+                                           jax.random.PRNGKey(4))
+    assert flow.shape == (2, s, s, 2) and rest.shape == (2, 8)
+    assert np.isfinite(np.asarray(flow)).all()
