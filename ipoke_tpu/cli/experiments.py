@@ -305,12 +305,12 @@ class FirstStageExperiment(Experiment):
         return {"params": state.params_g, "stats": state.stats_g}
 
     def validate(self, epoch):
-        from ..eval import compute_fvd, init_i3d_params, psnr, ssim
+        from ..eval import compute_fvd, init_fvd_backbone, psnr, ssim
         from ..eval.metrics import perceptual_distance
 
         if not hasattr(self, "_i3d"):
             s = self.config["data"]["spatial_size"][0]
-            self._i3d = init_i3d_params(
+            self._i3d = init_fvd_backbone(
                 0, spatial=s, frames=self.config["data"]["max_frames"]
             )
         apply = jax.jit(lambda p, st, X, r: self.model.apply(
@@ -390,6 +390,11 @@ class _AEExperiment(Experiment):
         return (self.config.get("input_key", "images"),
                 self.config.get("target_key", "images"))
 
+    # FID between real and reconstructed images during validation — the
+    # reference computes it for the image AE only (first_stage_image_conv.py
+    # :223-256, `n_it_fid` batches through FIDInceptionModel)
+    fid_val = False
+
     def validate(self, epoch):
         from ..eval.metrics import perceptual_distance, psnr, ssim
         from ..models.image_ae import _pad3
@@ -398,7 +403,7 @@ class _AEExperiment(Experiment):
         apply = jax.jit(lambda p, st, x, r: self.model.apply(
             {"params": p, "batch_stats": st}, x, rng=r, train=False,
         ))
-        lp, ss, ps = [], [], []
+        lp, ss, ps, reals, recs = [], [], [], [], []
         for batch in self.datamodule.val_loader(
             epoch=epoch, n_batches=self.max_val_batches
         ):
@@ -414,15 +419,27 @@ class _AEExperiment(Experiment):
             lp.append(np.asarray(perceptual_distance(self.vgg_params, a, b)))
             ss.append(np.asarray(ssim(a, b)))
             ps.append(np.asarray(psnr(a, b)))
-        return {
+            if self.fid_val:
+                reals.append(np.asarray(a))
+                recs.append(np.asarray(b))
+        out = {
             "lpips-val": float(np.mean(np.concatenate(lp))),
             "ssim-val": float(np.mean(np.concatenate(ss))),
             "psnr-val": float(np.mean(np.concatenate(ps))),
         }
+        if self.fid_val:
+            from ..eval.metrics import compute_fid
+
+            real = np.concatenate(reals)
+            out["fid-val"] = float(compute_fid(
+                self.vgg_params, real, np.concatenate(recs),
+                batch_size=min(32, real.shape[0])))
+        return out
 
 
 class ImgEncoderExperiment(_AEExperiment):
     datakeys = ["images"]
+    fid_val = True
 
 
 class PokeEncoderExperiment(_AEExperiment):
@@ -537,12 +554,12 @@ class SecondStageExperiment(Experiment):
         return self._step(self.state, self.frozen, batch, self.next_rng())
 
     def validate(self, epoch):
-        from ..eval import compute_fvd, init_i3d_params
+        from ..eval import compute_fvd, init_fvd_backbone
         from ..flows import flow_loss
 
         if not hasattr(self, "_i3d"):
             s = self.config["data"]["spatial_size"][0]
-            self._i3d = init_i3d_params(
+            self._i3d = init_fvd_backbone(
                 0, spatial=s, frames=self.config["data"]["max_frames"])
         T = self.config["data"]["max_frames"]
         density = jax.jit(lambda p, f, b, r: self.model.forward_density(
@@ -620,6 +637,13 @@ def select_experiment(config: Config):
     if __experiments__ is None:
         __experiments__ = _registry()
     name = config.get_path("general.experiment")
+    if name not in __experiments__ and isinstance(name, str):
+        # the reference registry mixes key casings — its `poke_encoder_FC`
+        # (ref experiments/__init__.py:19) must resolve to our lowercase key
+        # so unmodified reference YAMLs load
+        lowered = name.lower()
+        if lowered in __experiments__:
+            name = lowered
     assert name in __experiments__, (
         f"unknown experiment {name!r}; choose from {sorted(__experiments__)}"
     )

@@ -237,11 +237,11 @@ class SecondStageFCExperiment(Experiment):
         return {"params": state.params}
 
     def validate(self, epoch):
-        from ..eval import compute_fvd, init_i3d_params
+        from ..eval import compute_fvd, init_fvd_backbone
 
         if not hasattr(self, "_i3d"):
             s = self.config["data"]["spatial_size"][0]
-            self._i3d = init_i3d_params(
+            self._i3d = init_fvd_backbone(
                 0, spatial=s, frames=self.config["data"]["max_frames"])
         T = self.config["data"]["max_frames"]
         sample = jax.jit(lambda p, f, b, r: self.model.forward_sample(
@@ -374,6 +374,9 @@ class ThirdStageFCExperiment(Experiment):
 
     monitor = "EE_R3-val"
     datakeys = ["images", "poke", "flow"]
+    # enables the fork's `--test realism` / third-stage `--test accuracy`
+    # fan-out (cli/testing.py; reference third_stage_video_fc.py:371-453)
+    evaluates_hallucinated_flow = True
 
     def build(self):
         from ..models.big_ae import BigAE

@@ -25,6 +25,28 @@ def _out_dir(experiment, mode: str) -> str:
     return d
 
 
+# Annotated keypoints come from the same COCO-17 PoseResNet layout that pose
+# prep writes (eval/pose.py, data/prep.py pose_estimation), so equal joint
+# counts mean identical joint semantics.  A count MISMATCH means the layouts
+# are incompatible — comparing a truncated common prefix would silently mix
+# joint semantics into a plausible-but-wrong MSE, so refuse unless an
+# explicit index map is registered here: (n_pred, n_gt) -> (pred_idx, gt_idx).
+_JOINT_LAYOUT_MAPS: Dict[tuple, tuple] = {}
+
+
+def _aligned_joints(kps_pred: np.ndarray, kps_gt: np.ndarray):
+    n_p, n_g = kps_pred.shape[1], kps_gt.shape[1]
+    if n_p == n_g:
+        return kps_pred, kps_gt
+    if (n_p, n_g) in _JOINT_LAYOUT_MAPS:
+        pi, gi = _JOINT_LAYOUT_MAPS[(n_p, n_g)]
+        return kps_pred[:, list(pi)], kps_gt[:, list(gi)]
+    raise ValueError(
+        f"keypoint layout mismatch: estimator yields {n_p} joints but "
+        f"annotations carry {n_g}; register an explicit index map in "
+        f"_JOINT_LAYOUT_MAPS instead of truncating to a common prefix")
+
+
 def _restore_trained(experiment, require_sampler: bool = True):
     """Build + restore the best checkpoint.  ``require_sampler=False`` for
     encoder-style experiments without a frozen-submodel sampling pipeline
@@ -98,7 +120,7 @@ def test_samples(experiment) -> Dict[str, float]:
 
 
 def test_fvd(experiment) -> Dict[str, float]:
-    from ..eval import compute_fvd, init_i3d_params
+    from ..eval import compute_fvd, init_fvd_backbone
 
     _restore_trained(experiment)
     tcfg = experiment.config.get("testing", {})
@@ -122,8 +144,8 @@ def test_fvd(experiment) -> Dict[str, float]:
     np.save(os.path.join(d, "fake_samples.npy"),
             ((fake + 1) * 127.5).astype(np.uint8))
     s = experiment.config["data"]["spatial_size"][0]
-    i3d = init_i3d_params(0, spatial=s,
-                          frames=experiment.config["data"]["max_frames"])
+    i3d = init_fvd_backbone(0, spatial=s,
+                            frames=experiment.config["data"]["max_frames"])
     fvd = compute_fvd(i3d, real, fake, batch_size=min(8, real.shape[0]))
     result = {"FVD": float(fvd), "n_samples": float(real.shape[0])}
     with open(os.path.join(d, "fvd.json"), "w") as f:
@@ -155,7 +177,7 @@ def test_accuracy(experiment) -> Dict[str, float]:
                 dset.datakeys.append(k)
     kps_errs = []
     best_ssim, best_lpips, best_psnr = [], [], []
-    pf_ssim, pf_psnr, pf_lpips = [], [], []
+    pf_ssim, pf_psnr, pf_lpips, pf_kps = [], [], [], []
     for batch in experiment.datamodule.test_loader(n_batches=n_batches):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         tgt = batch["images"][:, 1:]
@@ -187,9 +209,13 @@ def test_accuracy(experiment) -> Dict[str, float]:
                     kps_gt = np.asarray(
                         batch["keypoints_rel"][:, 1:]).reshape(
                         -1, *batch["keypoints_rel"].shape[2:])
-                    k = min(kps_pred.shape[1], kps_gt.shape[1])
-                    kps_errs.append(np.mean(
-                        (kps_pred[:, :k] - kps_gt[:, :k]) ** 2))
+                    kp, kg = _aligned_joints(kps_pred, kps_gt)
+                    kps_errs.append(np.mean((kp - kg) ** 2))
+                    # per-frame kps MSE rows feeding the reference's
+                    # errorbar artifact set (second_stage_video_fc.py
+                    # :125-133)
+                    pf_kps.extend(
+                        ((kp - kg) ** 2).mean(axis=(1, 2)).reshape(B, T))
         best_ssim.append(np.max(per_sample["ssim"], axis=0))
         best_psnr.append(np.max(per_sample["psnr"], axis=0))
         best_lpips.append(np.min(per_sample["lpips"], axis=0))
@@ -211,6 +237,30 @@ def test_accuracy(experiment) -> Dict[str, float]:
          "lpips": np.stack(pf_lpips)},
         os.path.join(d, "per_frame_metrics.png"),
         csv_path=os.path.join(d, "per_frame_metrics.csv"))
+    if pf_kps:
+        # the reference's keypoint-error artifact set: per-frame dataframe
+        # csv + seaborn-style errorbar pdf + per-Time group csv (reference
+        # second_stage_video_fc.py:125-133, utils/logging.py:979-1010)
+        from ..utils.plots import _as_df, make_errorbar_plot
+
+        kps = np.stack(pf_kps)  # (N, T)
+        Tn = kps.shape[1]
+        n_pokes = int(experiment.config["data"].get("n_pokes", 1))
+        df = _as_df({
+            "Time": np.tile(np.arange(Tn), kps.shape[0]),
+            "Mean MSE per Frame": kps.reshape(-1),
+            "Std per Frame": np.tile(kps.std(axis=0), kps.shape[0]),
+            "Number of Pokes": [n_pokes] * kps.size,
+        })
+        df.to_csv(os.path.join(d, f"plot_data_{n_spp}pokes_kps-"
+                                  "aggregated.csv"))
+        make_errorbar_plot(
+            os.path.join(d, f"keypoint_err_plot_{n_spp}samples-"
+                            "aggregated.pdf"),
+            df, xid="Time", yid="Mean MSE per Frame",
+            hueid="Number of Pokes", varid="Std per Frame")
+        df.groupby("Time", as_index=False).mean(numeric_only=True).to_csv(
+            os.path.join(d, "plot_data_kps_group.csv"))
     return result
 
 
@@ -352,9 +402,12 @@ def test_control_sensitivity(experiment) -> Dict[str, float]:
                 responses.append(float(n_move))
                 if n_move > 1e-3:
                     u = d_vec[b] / (phases[b] + 1e-8)
-                    # record both component orders — poke layout is (dx, dy)
-                    # but dataset flow files may be (dy, dx); the aligned one
-                    # is the meaningful correlation
+                    # channel order is KNOWN, not guessed: pokes copy flow
+                    # values verbatim (data/poke.py simulate_poke) and both
+                    # the flow files (data/prep.py estimators) and the
+                    # Farneback response above are (dx, dy) — so dot(move, u)
+                    # is the aligned correlation; the swapped order is kept
+                    # only as a debug field
                     cos_sims.append((float(np.dot(move / n_move, u)),
                                      float(np.dot(move[::-1] / n_move, u))))
         # reference artifact set: overview grid + per-poke singles +
@@ -381,9 +434,8 @@ def test_control_sensitivity(experiment) -> Dict[str, float]:
     else:
         m_xy = m_yx = 0.0
     result = {
-        "direction_correlation": max(m_xy, m_yx),
-        "direction_correlation_xy": m_xy,
-        "direction_correlation_yx": m_yx,
+        "direction_correlation": m_xy,
+        "direction_correlation_swapped_debug": m_yx,
         "poke_region_response": float(np.mean(responses)),
         "n_directions": float(n_dirs),
     }
@@ -500,6 +552,152 @@ def test_kps_acc(experiment) -> Dict[str, float]:
     return result
 
 
+# ---------------------------------------------------------------------------
+# Third-stage (fork) test modes: realism + accuracy
+# (reference models/third_stage_video_fc.py:61-67,280-293,404-453; CLI
+# choice `realism` at reference main.py:87)
+# ---------------------------------------------------------------------------
+
+def _require_third_stage(experiment):
+    assert getattr(experiment, "evaluates_hallucinated_flow", False), (
+        f"--test realism / third-stage accuracy evaluate the fork's "
+        f"hallucinated-flow pipeline (run them on third_stage_fc runs); "
+        f"{type(experiment).__name__} has no flow-hallucination pipeline")
+
+
+def _third_stage_fns(experiment):
+    """Jitted closures over the third-stage pipeline:
+
+    * ``extract`` — seed the INN inverse with the SECOND stage's residual and
+      decode the first z_flow channels = the flow the second stage "saw"
+      (reference ``forward_sample(None, 1, None, out_hat)``,
+      third_stage_video_fc.py:341,405);
+    * ``sample`` — base-sampled hallucinated flow;
+    * ``recon`` — AE reconstruction of the ground-truth flow (the accuracy
+      comparison target, reference ``:389-395``)."""
+    model, ss_model, ss_params = (experiment.model, experiment.ss_model,
+                                  experiment.ss_params)
+    cond_fn = getattr(experiment, "cond_fn", None)
+
+    @jax.jit
+    def extract(params, frozen, batch, rng):
+        h = cond_fn(frozen, batch) if cond_fn else None
+        out_hat, _ = ss_model.forward_density(ss_params, frozen, batch, rng)
+        z = out_hat.reshape(out_hat.shape[0], -1)
+        flow, _ = model.forward_sample_flow(params, frozen, batch, rng, h,
+                                            z=z)
+        return flow
+
+    @jax.jit
+    def sample(params, frozen, batch, rng):
+        h = cond_fn(frozen, batch) if cond_fn else None
+        flow, _ = model.forward_sample_flow(params, frozen, batch, rng, h)
+        return flow
+
+    @jax.jit
+    def recon(frozen, batch):
+        mu, _ = model.encode_flow(frozen, batch["flow"])
+        return model.decode_flow_latent(frozen, mu)
+
+    return extract, sample, recon
+
+
+def test_realism(experiment) -> Dict[str, float]:
+    """Third-stage ``realism``: FID between colorized hallucinated flow
+    (second-stage-residual-seeded INN inverse -> flow decode) and colorized
+    real flow maps, over ``testing.n_samples_fid`` samples (reference
+    third_stage_video_fc.py:61-67,404-415,448-453).  The feature net is the
+    framework's VGG19 (real weights via ``IPOKE_VGG_WEIGHTS``) replacing
+    InceptionV3 — a valid relative FID."""
+    from ..eval.metrics import compute_fid
+    from ..nn.vgg import init_vgg_params
+    from ..utils.video import flow_to_rgb
+
+    _require_third_stage(experiment)
+    _restore_trained(experiment, require_sampler=False)
+    tcfg = experiment.config.get("testing", {})
+    bs = experiment.datamodule.config.get("test_batch_size",
+                                          experiment.datamodule.batch_size)
+    n_batches = 2 if experiment.debug else max(
+        1, -(-int(tcfg.get("n_samples_fid", 1000)) // bs))
+    extract, _, _ = _third_stage_fns(experiment)
+    reals, fakes = [], []
+    for batch in experiment.datamodule.test_loader(n_batches=n_batches):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        flow_hat = np.asarray(extract(
+            experiment.state.params, experiment.frozen, batch,
+            experiment.next_rng()))
+        reals.append(np.stack([flow_to_rgb(f)
+                               for f in np.asarray(batch["flow"])]))
+        fakes.append(np.stack([flow_to_rgb(f) for f in flow_hat]))
+    real = np.concatenate(reals).astype(np.float32) / 127.5 - 1.0
+    fake = np.concatenate(fakes).astype(np.float32) / 127.5 - 1.0
+    fid = compute_fid(init_vgg_params(0), real, fake,
+                      batch_size=min(32, real.shape[0]))
+    result = {"FID": float(fid), "n_samples": float(real.shape[0])}
+    d = _out_dir(experiment, "realism")
+    with open(os.path.join(d, "metrics.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def test_accuracy_third_stage(experiment) -> Dict[str, float]:
+    """Third-stage ``accuracy`` (reference third_stage_video_fc.py:280-293,
+    371-398,421-447): ratio-of-error categories between the residual-
+    extracted flow and the AE-reconstructed ground truth (angular
+    R5/R10/R15 degrees, endpoint R1/R2/R3/R5 px), plus the reference's
+    diversity artifact set — a colorized
+    ``[ground truth | extracted | sample x n]`` category stack, the pokes
+    and start frames, and the per-batch error yaml, all keyed by the poke
+    count (NHWC uint8 instead of the reference's CHW floats)."""
+    import yaml as _yaml
+
+    from ..eval.metrics import optical_flow_metrics
+    from ..utils.video import flow_to_rgb
+
+    _require_third_stage(experiment)
+    _restore_trained(experiment, require_sampler=False)
+    tcfg = experiment.config.get("testing", {})
+    n_spp = int(tcfg.get("n_samples_per_data_point", 5))
+    n_log = int(experiment.config.get("logging", {}).get("n_log_images", 8))
+    n_batches = 2 if experiment.debug else 10
+    n_pokes = int(experiment.config["data"].get("n_pokes", 1))
+    extract, sample, recon = _third_stage_fns(experiment)
+
+    P, F = experiment.state.params, experiment.frozen
+    errs, cats, pokes, x0s = [], [], [], []
+    for batch in experiment.datamodule.test_loader(n_batches=n_batches):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        flow_ex = np.asarray(extract(P, F, batch, experiment.next_rng()))
+        flow_ref = np.asarray(recon(F, batch))
+        # the reference caps the metric at 64 elements per batch (:392)
+        m = optical_flow_metrics(jnp.asarray(flow_ex[:64]),
+                                 jnp.asarray(flow_ref[:64]))
+        errs.append({k: float(v) for k, v in m.items()})
+        samples = [np.asarray(sample(P, F, batch, experiment.next_rng()))
+                   for _ in range(n_spp)]
+        gt = np.asarray(batch["flow"])
+        cat = [gt[:n_log], flow_ex[:n_log]] + [s[:n_log] for s in samples]
+        cats.append(np.stack(
+            [np.stack([flow_to_rgb(f) for f in c]) for c in cat]))
+        pokes.append(np.asarray(batch["poke"])[:n_log])
+        x0s.append(np.asarray(batch["images"])[:n_log, 0])
+    result = {k: float(np.mean([e[k] for e in errs])) for k in errs[0]}
+    d = _out_dir(experiment, "accuracy")
+    np.save(os.path.join(d, f"samples_diversity_{n_pokes}_pokes.npy"),
+            np.concatenate(cats, axis=1))
+    np.save(os.path.join(d, f"pokes_diversity_{n_pokes}_pokes.npy"),
+            np.concatenate(pokes))
+    np.save(os.path.join(d, f"starting_frame_{n_pokes}_pokes.npy"),
+            np.concatenate(x0s))
+    with open(os.path.join(d, f"error_result_{n_pokes}_pokes.yaml"),
+              "w") as f:
+        _yaml.safe_dump(errs, f)
+    with open(os.path.join(d, "metrics.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
 _MODES = {
     "samples": test_samples,
     "fvd": test_fvd,
@@ -508,11 +706,19 @@ _MODES = {
     "control_sensitivity": test_control_sensitivity,
     "transfer": test_transfer,
     "kps_acc": test_kps_acc,
+    "realism": test_realism,
 }
 
 
 def run_test(experiment, mode: str) -> Dict[str, float]:
     assert mode in _MODES, f"unknown test mode {mode!r} ({sorted(_MODES)})"
-    result = _MODES[mode](experiment)
+    fn = _MODES[mode]
+    # `--test accuracy` on a third-stage run means the fork's flow-error
+    # fan-out, not the video-sample metrics (reference dispatches inside
+    # ThirdStageFlowFC.test_step, third_stage_video_fc.py:371-415)
+    if mode == "accuracy" and getattr(experiment,
+                                      "evaluates_hallucinated_flow", False):
+        fn = test_accuracy_third_stage
+    result = fn(experiment)
     experiment.logger.info(f"--test {mode}: {result}")
     return result

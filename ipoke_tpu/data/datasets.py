@@ -246,9 +246,12 @@ class VideoDataset:
         if img is None:
             raise FlowError(f"could not read image {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        # Human3.6m resizes with lanczos (reference flow_dataset.py:585
-        # use_lanczos; base_dataset.py resize call)
-        interp = cv2.INTER_LANCZOS4 if self.use_lanczos else cv2.INTER_LINEAR
+        # Human3.6m resizes with lanczos, but ONLY at spatial_size 64 —
+        # the reference gates it (flow_dataset.py:584 use_lanczos;
+        # base_dataset.py:411 `use_lanczos and spatial_size == 64`)
+        interp = cv2.INTER_LANCZOS4 if (
+            self.use_lanczos and self.spatial_size[0] == 64
+        ) else cv2.INTER_LINEAR
         img = cv2.resize(
             img, (self.spatial_size[1], self.spatial_size[0]),
             interpolation=interp,

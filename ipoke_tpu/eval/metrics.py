@@ -165,15 +165,19 @@ def compute_fid(vgg_params, real_images, fake_images,
     return frechet_distance(*calculate_moments(a), *calculate_moments(b))
 
 
-def compute_fvd(i3d_params, real_videos, fake_videos,
+def compute_fvd(backbone, real_videos, fake_videos,
                 batch_size: int = 8) -> float:
-    """FVD over I3D logits (reference ``calculate_FVD``, metrics.py:838-845).
+    """FVD over feature-backbone activations (reference ``calculate_FVD``,
+    metrics.py:838-845 — I3D logits there; here either the real converted
+    I3D, the in-repo-trained MotionFeatureNet, or a random I3D, see
+    ``eval/backbone.py``).  ``backbone`` is a bundle from
+    ``init_fvd_backbone`` or raw I3D variables (legacy).
 
     videos: (N, T, H, W, 3) in [-1, 1]."""
-    from .i3d import i3d_activations
+    from .backbone import backbone_activations
 
-    a_real = i3d_activations(i3d_params, real_videos, batch_size)
-    a_fake = i3d_activations(i3d_params, fake_videos, batch_size)
+    a_real = backbone_activations(backbone, real_videos, batch_size)
+    a_fake = backbone_activations(backbone, fake_videos, batch_size)
     return frechet_distance(*calculate_moments(a_real),
                             *calculate_moments(a_fake))
 

@@ -238,6 +238,10 @@ class SecondStageModelFC:
         self.poke_embedder = poke_embedder
         self.use_cond = conditioner is not None
         self.poke_key = "poke"
+        # vector latent: no augmented-input channels (the conv second stage's
+        # option, second_stage.py) — but test modes branch on the attribute,
+        # so expose it with the same name
+        self.augment_input = False
         self.flow_in_channels = first_stage.z_dim
         h_channels = poke_embedder.nf_max + (
             conditioner.nf_max if self.use_cond else 0)
@@ -257,7 +261,11 @@ class SecondStageModelFC:
     def init(self, rng):
         return {"flow": self.flow.init(rng, (1, self.flow_in_channels))}
 
-    def embed_conditioning(self, frozen, batch):
+    def embed_conditioning(self, frozen, batch, params=None):
+        # ``params`` accepted for signature parity with the conv second stage
+        # (SecondStageModel.embed_conditioning) — the FC tower has no
+        # trainable conv_adapt adapters, so it is unused
+        del params
         poke = batch[self.poke_key]
         X = batch["images"]
         if self.poke_embedder.poke_and_image:

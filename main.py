@@ -27,7 +27,8 @@ def parse_args(argv=None):
                    help="accepted for reference-CLI compatibility; ignored")
     p.add_argument("--test", default="none",
                    choices=["none", "fvd", "accuracy", "samples", "diversity",
-                            "kps_acc", "transfer", "control_sensitivity"])
+                            "kps_acc", "transfer", "control_sensitivity",
+                            "realism"])
     p.add_argument("--resume", action="store_true")
     p.add_argument("--last_ckpt", action="store_true")
     p.add_argument("--target_version", type=int, default=None)
@@ -57,9 +58,35 @@ def load_parameters(args):
     return config, dirs, data_root
 
 
+def maybe_prompt_resume(config, dirs):
+    """Interactive resume-on-name-collision prompt (reference main.py:39-55),
+    gated on a TTY so headless/CI runs never block on input()."""
+    from ipoke_tpu.core.checkpoint import latest_version
+
+    gen = config["general"]
+    if (gen.get("test", "none") != "none" or gen.get("resume")
+            or gen.get("debug") or gen.get("target_version") is not None):
+        return
+    if latest_version(dirs["ckpt"]) is None:
+        return
+    if not (sys.stdin.isatty() and sys.stdout.isatty()):
+        return
+    print("WARNING: model has been started somewhen earlier: "
+          "resume training (y/n)?")
+    while True:
+        answer = input().strip().lower()
+        if answer in ("y", "yes"):
+            gen["resume"] = True
+            return
+        if answer in ("n", "no"):
+            return
+        print("Invalid answer! Try again! (y/n)")
+
+
 def main(argv=None):
     args = parse_args(argv)
     config, dirs, data_root = load_parameters(args)
+    maybe_prompt_resume(config, dirs)
 
     from ipoke_tpu.core.runtime import setup_compilation_cache
 

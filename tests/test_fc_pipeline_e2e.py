@@ -74,6 +74,16 @@ def test_fc_pipeline_through_cli(tmp_path):
             "training": {"lr": 1e-3, "n_epochs": 1, "lr_scaling_max_it": 5}})
         assert os.path.isdir(f"{BASE}/second_stage_fc/ckpt/fc/0/last_weights")
 
+        # --test transfer on the FC second stage (regression for the round-2
+        # advisor finding: SecondStageModelFC.embed_conditioning signature /
+        # missing augment_input attribute raised TypeError here)
+        assert cli.main(["--config", f"{ROOT}/ssfc.yaml", "--model_name",
+                         "fc", "--data_root", DATA,
+                         "--test", "transfer"]) == 0
+        tfiles = os.listdir(f"{BASE}/second_stage_fc/generated/fc/transfer")
+        assert any(f.startswith("transfer_grid-") and f.endswith(".mp4")
+                   for f in tfiles)
+
         # -- flow encoder (BigAE on flow maps) --------------------------------
         run("fcae", {
             "general": {"experiment": "flow_encoder_fc", "seed": 1,
@@ -115,6 +125,39 @@ def test_fc_pipeline_through_cli(tmp_path):
         with open(f"{BASE}/third_stage_fc/log/fc/0/metrics.jsonl") as f:
             assert any("EE_R3-val" in line for line in f), (
                 "third stage must log its checkpoint-gating metric")
+
+        # --test realism / accuracy: the fork's third-stage test-mode fan-out
+        # (reference third_stage_video_fc.py:280-293,404-453, main.py:87)
+        import json
+
+        import numpy as _np
+
+        assert cli.main(["--config", f"{ROOT}/tsfc.yaml", "--model_name",
+                         "fc", "--data_root", DATA,
+                         "--test", "realism"]) == 0
+        with open(f"{BASE}/third_stage_fc/generated/fc/realism/"
+                  "metrics.json") as f:
+            fid = json.load(f)
+        assert _np.isfinite(fid["FID"]) and fid["n_samples"] > 0
+
+        assert cli.main(["--config", f"{ROOT}/tsfc.yaml", "--model_name",
+                         "fc", "--data_root", DATA,
+                         "--test", "accuracy"]) == 0
+        adir = f"{BASE}/third_stage_fc/generated/fc/accuracy"
+        with open(f"{adir}/metrics.json") as f:
+            acc = json.load(f)
+        for key in ("EE_R1", "EE_R3", "AE_R5"):
+            assert _np.isfinite(acc[key]), key
+        afiles = os.listdir(adir)
+        npk = D["n_pokes"]
+        for stem in (f"samples_diversity_{npk}_pokes.npy",
+                     f"pokes_diversity_{npk}_pokes.npy",
+                     f"starting_frame_{npk}_pokes.npy",
+                     f"error_result_{npk}_pokes.yaml"):
+            assert stem in afiles, stem
+        cat = _np.load(f"{adir}/samples_diversity_{npk}_pokes.npy")
+        # [ground truth | extracted | sample x n] colorized categories
+        assert cat.ndim == 5 and cat.shape[-1] == 3 and cat.shape[0] >= 3
 
         cond_cfg = dict(ts_cfg, general={"experiment": "third_stage_fc",
                                          "seed": 1, "debug": True,

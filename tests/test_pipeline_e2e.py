@@ -100,6 +100,17 @@ def test_full_three_stage_pipeline(pipeline_env):
         assert os.path.isdir(os.path.join(vdir, "last")), exp
         assert os.path.exists(os.path.join(vdir, "best_k_models.yaml")), exp
 
+    # the image AE validates with FID like the reference
+    # (first_stage_image_conv.py:223-256)
+    import json as _json
+
+    with open(os.path.join(base, "img_encoder/log/tiny/0/"
+                           "metrics.jsonl")) as f:
+        vals = [_json.loads(line) for line in f]
+    fid_vals = [v["val/fid-val"] for v in vals if "val/fid-val" in v]
+    assert fid_vals and all(np.isfinite(v) for v in fid_vals), (
+        "img_encoder validation must log fid-val")
+
     ss_cfg = {
         "general": {"experiment": "second_stage", "seed": 1, "debug": True},
         "first_stage": {
