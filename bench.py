@@ -7,10 +7,26 @@ config/second_stage.yaml / ref config/second_stage.yaml:60-66) ->
 reference-width first-stage ConvGRU+SPADE decode — at 128px, 10 predicted
 frames, B=40 (the reference's operational workload, BASELINE.md).
 
-``vs_baseline`` = device per-clip rate / host-CPU per-clip rate of the SAME
-program (north star: ">=10x CPU reference clips/sec/chip on v5e"); the CPU
-leg runs a smaller batch so the benchmark stays bounded — per-clip rates are
-compared.  The JSON also carries the bandwidth-bound accounting: one sampling
+Measurement design (round-3 reproducibility rework): K sampling steps are
+fused into ONE ``lax.scan`` dispatch (amortizing the remote-tunnel dispatch
+RTT to <0.5% of the window), and each timed window is closed by
+``jax.device_get`` of the scan outputs — NOT ``block_until_ready``.  On this
+remote ("axon") PJRT backend ``block_until_ready`` sometimes returns after
+enqueue rather than completion: windows of 10/30/90 scanned steps all
+"finished" in ~4 ms under it, while ``device_get`` (which must produce real
+bytes) shows the true linear cost (296/792 ms for 10/30 iters, small
+config).  That artifact is what made rounds 1-2's numbers irreproducible
+(46-87% spread).  ``device_get`` of the (iters,) scalar outputs transfers
+~100 bytes, so it adds one RTT and nothing else.  Each round uses a FRESH
+rng key (device_put outside the timed window) so no service-side caching
+can short-circuit execution.  R rounds are timed and the MEDIAN is the
+headline; ``value_min`` / ``value_max`` / ``rounds`` / ``iters_per_round``
+in the JSON expose the spread so an irreproducible number is visible as one.
+
+``vs_baseline`` = device per-clip rate / host-CPU per-clip rate, each leg in
+its natural serving dtype (device bf16 weight streaming, CPU fp32 — both
+dtypes are reported; north star: ">=10x CPU reference clips/sec/chip on
+v5e").  The JSON also carries the bandwidth-bound accounting: one sampling
 pass must stream every parameter byte from HBM at least once, so
 ``hbm_gbps`` / ``hbm_frac_of_peak`` (v5e peak ~819 GB/s) is the
 speed-of-light measure for this memory-bound workload.
@@ -18,8 +34,10 @@ speed-of-light measure for this memory-bound workload.
 Prints exactly ONE JSON line on stdout.
 
 Env knobs: IPOKE_BENCH_SMALL=1 benches the round-1 small config instead
-(CI-sized); IPOKE_BENCH_CPU_ITERS / IPOKE_BENCH_ITERS override iteration
-counts.
+(CI-sized); IPOKE_BENCH_ITERS / IPOKE_BENCH_ROUNDS / IPOKE_BENCH_CPU_ITERS
+override the scan window / round count / CPU iterations; IPOKE_BENCH_F32=1
+streams fp32 weights on the device leg; IPOKE_BENCH_PHASES=1 adds a
+per-phase (conditioning / cINN inverse / decode) time breakdown.
 """
 
 import json
@@ -33,20 +51,45 @@ import jax.numpy as jnp
 V5E_PEAK_HBM_GBPS = 819.0
 
 
-def _rate(fn, args, iters, warmup=1, rounds=1):
-    """Pipelined rate; best of ``rounds`` measurement rounds (host noise —
-    e.g. a concurrent CPU job slowing remote dispatch — only ever slows a
-    round down, so the max is the robust steady-state estimate)."""
-    for _ in range(warmup):
-        fn(*args).block_until_ready()
-    best = 0.0
-    for _ in range(rounds):
+def _warn_if_loaded():
+    """Host load inflates remote-tunnel dispatch (CLAUDE.md: a concurrent
+    pytest run skewed a sampling measurement 4.7x).  The scanned window makes
+    the measurement robust to it, but warn anyway so a noisy capture is
+    explainable."""
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        ncpu = os.cpu_count() or 1
+        if load1 > 0.5 * ncpu:
+            print(f"WARNING: host load {load1:.1f} on {ncpu} CPUs — "
+                  f"dispatch/compile times may be inflated (device-side "
+                  f"scan window keeps the rate itself robust)",
+                  file=sys.stderr)
+    except OSError:
+        pass
+
+
+def _scan_rate(fn, args, iters, rounds, batch_size):
+    """Median/min/max clips-per-second over ``rounds`` timed windows, each a
+    SINGLE dispatch of ``fn`` (which internally scans ``iters`` sampling
+    steps on-device).  ``args = (params, frozen, batch, rng)``; each round
+    re-runs with a fresh rng key placed on-device BEFORE its timer starts.
+    Every window is closed by ``jax.device_get`` — the only completion
+    barrier that is honest on the remote backend (module docstring)."""
+    params, frozen, batch, rng = args
+    dev = list(jax.tree_util.tree_leaves(rng))[0].devices().pop()
+    out = jax.device_get(fn(*args))  # compile + warm
+    assert all(x == x for x in out.tolist()), "non-finite sampling output"
+    rates = []
+    for r in range(rounds):
+        key = jax.device_put(jax.random.PRNGKey(1000 + r), dev)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        out.block_until_ready()
-        best = max(best, iters / (time.perf_counter() - t0))
-    return best
+        jax.device_get(fn(params, frozen, batch, key))
+        rates.append(iters * batch_size / (time.perf_counter() - t0))
+    rates.sort()
+    n = len(rates)
+    median = rates[n // 2] if n % 2 else 0.5 * (rates[n // 2 - 1] +
+                                                rates[n // 2])
+    return median, rates[0], rates[-1]
 
 
 def _build_on_cpu(batch_size, spatial):
@@ -77,27 +120,93 @@ def _build_on_cpu(batch_size, spatial):
     return built
 
 
+def _phase_breakdown(model, args, T, iters, rounds, B):
+    """Per-phase device time: conditioning embed / cINN inverse / first-stage
+    decode, each scanned like the headline measurement.  Opt-in
+    (IPOKE_BENCH_PHASES=1) — three extra shipped-scale compiles."""
+    params, frozen, batch, rng = args
+    X = batch["images"]
+    s = model.min_spatial_size
+    z_shape = model.flow.output_shape((s, s, model.flow_in_channels))
+
+    def scan_of(body):
+        def run(params, frozen, batch, rng):
+            def step(carry, _):
+                carry, sub = jax.random.split(carry)
+                out = body(params, frozen, batch, sub)
+                return carry, jnp.mean(out)
+            _, outs = jax.lax.scan(step, rng, None, length=iters)
+            return outs
+        return jax.jit(run)
+
+    # phase inputs computed once, jitted (eager op-by-op dispatch of a
+    # 1054M-param inverse over the remote tunnel would take minutes)
+    @jax.jit
+    def _inputs(params, frozen, batch, rng):
+        cond = model.embed_conditioning(frozen, batch, params)
+        motion = model.flow.inverse(
+            params["flow"],
+            jax.random.normal(rng, (X.shape[0], *z_shape), X.dtype), cond)
+        if model.augment_input:
+            motion = motion[..., : model.first_stage.z_dim]
+        return cond, motion
+
+    cond, motion = _inputs(*args)
+    jax.device_get(jnp.mean(cond) + jnp.mean(motion))  # honest completion
+
+    # every phase body MUST consume the per-iteration rng: a body whose
+    # inputs are loop-invariant is hoisted out of the scan by XLA and times
+    # as a no-op (observed: "decode 3.56 ms" while the full step is 134 ms).
+    # The tiny rng perturbations below are O(input-size) adds — negligible
+    # next to the phase itself — but make every iteration's work live.
+    def perturb(r, x):
+        return x + 1e-3 * jax.random.normal(r, x.shape, x.dtype)
+
+    phases = {
+        "conditioning": scan_of(
+            lambda p, f, b, r: model.embed_conditioning(
+                f, {**b, "images": perturb(r, b["images"])}, p)),
+        "cinn_inverse": scan_of(
+            lambda p, f, b, r: model.flow.inverse(
+                p["flow"],
+                jax.random.normal(r, (b["images"].shape[0], *z_shape),
+                                  b["images"].dtype),
+                cond)),
+        "decode": scan_of(
+            lambda p, f, b, r: model.decode_first_stage(
+                f, perturb(r, motion), b["images"][:, 0], T)),
+    }
+    out = {}
+    for name, fn in phases.items():
+        med, _, _ = _scan_rate(fn, args, iters, rounds, B)
+        out[f"phase_{name}_ms"] = round(1e3 * B / med, 2)
+        print(f"phase {name}: {out[f'phase_{name}_ms']} ms", file=sys.stderr)
+    return out
+
+
 def main():
     from ipoke_tpu.core.runtime import setup_compilation_cache
 
     setup_compilation_cache()
+    _warn_if_loaded()
 
     B, T, S = 40, 10, 128
     if os.environ.get("IPOKE_BENCH_SMALL") == "1":
         B, S = 8, 64
-    model, params, frozen, batch = _build_on_cpu(B, S)
+    model, params_f32, frozen_f32, batch_f32 = _build_on_cpu(B, S)
 
     # bf16 weight streaming (default): the workload is HBM-bandwidth bound on
     # one pass over the params, and bf16 is the standard TPU serving dtype —
     # halves bytes/step (and the host->device transfer).  IPOKE_BENCH_F32=1
-    # benches full fp32 instead; the CPU baseline runs the SAME program.
+    # benches full fp32 instead.
     dtype = jnp.float32 if os.environ.get("IPOKE_BENCH_F32") == "1" \
         else jnp.bfloat16
     bytes_per_el = 4 if dtype == jnp.float32 else 2
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-    params, frozen, batch = cast(params), cast(frozen), cast(batch)
+    params, frozen, batch = (cast(params_f32), cast(frozen_f32),
+                             cast(batch_f32))
 
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(params)
@@ -109,8 +218,21 @@ def main():
     print(f"flow params: {n_params / 1e6:.1f}M, frozen: {n_frozen / 1e6:.1f}M",
           file=sys.stderr)
 
-    def sample(params, frozen, batch, rng):
-        return model.forward_sample(params, frozen, batch, rng, length=T)
+    iters = int(os.environ.get("IPOKE_BENCH_ITERS", "30"))
+    rounds = int(os.environ.get("IPOKE_BENCH_ROUNDS", "5"))
+
+    def sample_window(params, frozen, batch, rng):
+        """ONE dispatch = ``iters`` full sampling steps scanned on-device;
+        each step consumes a fresh rng and contributes one output element so
+        nothing dead-code-eliminates."""
+        def step(carry, _):
+            carry, sub = jax.random.split(carry)
+            vid = model.forward_sample(params, frozen, batch, sub, length=T)
+            # full reduction: every output element is live, so XLA cannot
+            # dead-code-eliminate any part of the step
+            return carry, jnp.mean(vid)
+        _, outs = jax.lax.scan(step, rng, None, length=iters)
+        return outs
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -121,32 +243,41 @@ def main():
     print(f"transfer to device: {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
-    iters = int(os.environ.get("IPOKE_BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    fn_dev = jax.jit(sample)
-    rate_dev = _rate(fn_dev, args, iters=iters, rounds=3) * B  # clips/sec
+    fn_dev = jax.jit(sample_window)
+    rate_dev, rate_min, rate_max = _scan_rate(fn_dev, args, iters, rounds, B)
     print(f"device warmup+measure: {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
     step_ms = 1e3 * B / rate_dev
     hbm_gbps = param_bytes / (step_ms / 1e3) / 1e9
 
-    # CPU reference: same program on the host CPU backend, smaller batch so
-    # the bench stays bounded; per-clip rates are compared
-    # one pass (warmup doubles as the measurement lower bound): a single
-    # shipped-scale CPU inference is ~100 s + a multi-minute CPU compile, so
-    # extra iterations only risk the driver's time budget (measured 2026-08:
-    # cpu ~0.04 clips/s vs 2818 on one v5e)
+    result_phases = {}
+    if os.environ.get("IPOKE_BENCH_PHASES") == "1":
+        result_phases = _phase_breakdown(model, args, T, iters, rounds, B)
+
+    # CPU reference: the same pipeline on the host CPU backend in ITS natural
+    # dtype (fp32 — bf16 is emulated/deoptimized on CPU, round-2 advisor),
+    # smaller batch so the bench stays bounded; per-clip rates are compared.
+    # One un-scanned pass: a single shipped-scale CPU inference is ~100 s + a
+    # multi-minute CPU compile (measured 2026-08: cpu ~0.04 clips/s vs ~3000
+    # on one v5e), so extra iterations only risk the driver's time budget.
     cpu_iters = int(os.environ.get("IPOKE_BENCH_CPU_ITERS", "1"))
     B_cpu = min(B, 2)
     try:
         cpu = jax.devices("cpu")[0]
-        batch_cpu = {k: v[:B_cpu] for k, v in batch.items()}
+        batch_cpu = {k: v[:B_cpu] for k, v in batch_f32.items()}
         with jax.default_device(cpu):
             args_cpu = jax.device_put(
-                (params, frozen, batch_cpu, jax.random.PRNGKey(0)), cpu)
-            fn_cpu = jax.jit(sample)
-            rate_cpu = _rate(fn_cpu, args_cpu, iters=cpu_iters,
-                             warmup=1) * B_cpu
+                (params_f32, frozen_f32, batch_cpu, jax.random.PRNGKey(0)),
+                cpu)
+            fn_cpu = jax.jit(lambda p, f, b, r: model.forward_sample(
+                p, f, b, r, length=T))
+            jax.device_get(fn_cpu(*args_cpu))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(cpu_iters):
+                out = fn_cpu(*args_cpu)
+            jax.device_get(out)
+            rate_cpu = cpu_iters * B_cpu / (time.perf_counter() - t0)
     except Exception as e:  # pragma: no cover
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         rate_cpu = float("nan")
@@ -159,16 +290,23 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(rate_dev / rate_cpu, 2) if rate_cpu == rate_cpu
         else None,
+        "value_min": round(rate_min, 3),
+        "value_max": round(rate_max, 3),
+        "rounds": rounds,
+        "iters_per_round": iters,
         "model_params_m": round((n_params + n_frozen) / 1e6, 1),
         "dtype": jnp.dtype(dtype).name,
+        "baseline_dtype": "float32",
         "batch": B,
         "step_ms": round(step_ms, 2),
         "bound": "hbm_weight_streaming",
         "hbm_gbps": round(hbm_gbps, 1),
         "hbm_frac_of_peak": round(hbm_gbps / V5E_PEAK_HBM_GBPS, 3),
+        **result_phases,
     }
-    print(f"device rate: {rate_dev:.2f} clips/s, cpu rate: {rate_cpu:.2f}",
-          file=sys.stderr)
+    print(f"device rate: {rate_dev:.2f} clips/s "
+          f"[{rate_min:.2f}, {rate_max:.2f}] over {rounds} rounds, "
+          f"cpu rate: {rate_cpu:.2f}", file=sys.stderr)
     print(json.dumps(result))
 
 
