@@ -111,15 +111,6 @@ class MaskedConvFlow(Flow):
         c = _act(self.activation)(c)
         return wn_conv_apply(params["out"], c, padding="SAME")
 
-    def _net_window(self, params, window, h_row):
-        """Un-shifted net on a (B, kH, W + 2*cw, C) window -> one row of raw
-        params (B, W, out_c).  Mirrors ``calc_params(..., shifted=False)``."""
-        c = plain_conv_apply(params["w_shift"], window, padding="VALID")
-        if self.h_channels:
-            c = jnp.concatenate([c, h_row], axis=-1)
-        c = _act(self.activation)(c)
-        return wn_conv_apply(params["out"], c, padding="SAME")[:, 0]
-
     # -- directions --------------------------------------------------------
     def forward(self, params, x, h=None):
         raw = self._net(params, x, h)
@@ -159,12 +150,26 @@ class MaskedConvFlow(Flow):
         return jnp.swapaxes(xt, 1, 2)
 
     def _inverse_height(self, params, y, h, reverse: bool):
-        """Sequential row reconstruction (reference macow2.py:174-231)."""
+        """Sequential row reconstruction (reference macow2.py:174-231).
+
+        The loop body is kept op-lean — at the shipped 8x8 latents the
+        inverse is latency-bound on thousands of tiny sequential HLOs, not
+        on FLOPs: the weight-norm normalization of the 1x1 output conv is
+        hoisted OUT of the row loop (it is row-invariant), the row write
+        lands at its column offset directly instead of pad+update, and the
+        1x1 conv is a single dot_general per row."""
         b, height, width, c = y.shape
         kh, kw = params["w_shift"].shape[0], params["w_shift"].shape[1]
         cw = (kw - 1) // 2
         buf = jnp.zeros((b, height + kh, width + 2 * cw, c), y.dtype)
         tr = self._tr
+        act = _act(self.activation)
+        out = params["out"]
+        from .primitives import _v_norm
+
+        w_out = (out["v"] * (out["g"] / _v_norm(out["v"])))[0, 0]  # (hid+hch, oc)
+        b_out = out["b"]
+        use_h = h is not None and self.h_channels
 
         def body(i, buf):
             row = (height - 1 - i) if reverse else i
@@ -173,16 +178,20 @@ class MaskedConvFlow(Flow):
             window = jax.lax.dynamic_slice(
                 buf, (0, start, 0, 0), (b, kh, width + 2 * cw, c)
             )
-            h_row = None
-            if h is not None and self.h_channels:
+            hid = plain_conv_apply(params["w_shift"], window,
+                                   padding="VALID")[:, 0]  # (b, W, hid)
+            if use_h:
                 h_row = jax.lax.dynamic_slice(
                     h, (0, row, 0, 0), (b, 1, h.shape[2], h.shape[3])
-                )
-            raw = self._net_window(params, window, h_row)
+                )[:, 0]
+                hid = jnp.concatenate([hid, h_row], axis=-1)
+            raw = jax.lax.dot_general(
+                act(hid), w_out, dimension_numbers=(((2,), (0,)), ((), ()))
+            ) + b_out
             x_row = tr.bwd(y[:, row], tr.calc(raw))
             write_at = row if reverse else row + kh
-            pad_row = jnp.pad(x_row[:, None], ((0, 0), (0, 0), (cw, cw), (0, 0)))
-            return jax.lax.dynamic_update_slice(buf, pad_row, (0, write_at, 0, 0))
+            return jax.lax.dynamic_update_slice(
+                buf, x_row[:, None], (0, write_at, cw, 0))
 
         buf = jax.lax.fori_loop(0, height, body, buf)
         if reverse:
@@ -302,6 +311,37 @@ def _permutation(use_1x1: bool, channels: int) -> Flow:
     return InvConvLU(channels) if use_1x1 else Shuffle(channels)
 
 
+@dataclasses.dataclass(frozen=True)
+class MaCowUnitChain(Chain):
+    """A MaCowUnit chain whose inverse can run as ONE fused Pallas kernel.
+
+    Params/forward/ddi are plain ``Chain`` semantics (identical tree, so
+    checkpoints are unaffected); ``inverse`` dispatches the whole unit —
+    4 masked-conv row/column recurrences + 2 ActNorms — to
+    ``ops.masked_conv.macow_unit_inverse_pallas`` when the fused path is
+    enabled and applicable (affine transform, ELU, square latents).  At the
+    shipped 8x8 latents the XLA per-row scan is latency-bound on thousands
+    of tiny sequential HLOs; the fused kernel keeps the recurrences in VMEM
+    back-to-back (see PERFORMANCE.md)."""
+
+    def inverse(self, params, y, h=None):
+        from ..ops import fused_unit_enabled
+
+        mcf = self.flows[0]
+        if (fused_unit_enabled() and isinstance(mcf, MaskedConvFlow)
+                and mcf.transform == "affine" and mcf.activation == "elu"
+                and y.shape[1] == y.shape[2]):
+            from ..ops.masked_conv import macow_unit_inverse_pallas
+
+            x = macow_unit_inverse_pallas(
+                y, h if mcf.h_channels else None,
+                [params[0], params[1], params[3], params[4]],
+                [params[2], params[5]], mcf.kernel_size, mcf.alpha,
+            )
+            return x.astype(y.dtype)
+        return super().inverse(params, y, h)
+
+
 def make_macow_unit(
     in_channels, kernel_size, h_channels=0, transform="affine", alpha=1.0,
     activation="elu",
@@ -313,7 +353,7 @@ def make_macow_unit(
         in_channels, ks, order=order, h_channels=h_channels,
         transform=transform, alpha=alpha, activation=activation,
     )
-    return Chain((
+    return MaCowUnitChain((
         mk("A", (kh, kw)),
         mk("B", (kh, kw)),
         ActNorm(in_channels),

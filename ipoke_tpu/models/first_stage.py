@@ -104,16 +104,23 @@ class FirstStageModel(nn.Module):
         One ``nn.scan`` over the T frames (params broadcast; spectral-norm
         power-iteration stats carried sequentially in train mode) instead of
         a Python loop — the unrolled HLO was the main compile-time cost of
-        the shipped-scale sampling/train programs."""
+        the shipped-scale sampling/train programs.
+
+        The SPADE modulation maps depend only on the (fixed) start frame, so
+        they are computed ONCE here and broadcast into the scan instead of
+        being recomputed every frame (the reference recomputes them per frame
+        — same math, ~45% of the per-frame decode FLOPs at 128px)."""
         hidden = tuple(motion for _ in range(self.n_gru_layers))
         if self.use_motion_bias:
             in_rnn = jnp.tile(self.motion_bias, (motion.shape[0], 1, 1, 1))
         else:
             in_rnn = motion
+        mods = self.gen.spade_modulations(start_frame, motion.shape[1])
 
         def body(mdl, hidden, _):
             hidden = mdl.rnn(in_rnn, hidden)
-            return hidden, mdl.gen(hidden[-1], start_frame, train=train)
+            return hidden, mdl.gen(hidden[-1], start_frame, train=train,
+                                   mods=mods)
 
         scan = nn.scan(
             body,

@@ -82,10 +82,13 @@ class PokeVAEModel(nn.Module):
             state0 = motion
             in_rnn = poke_repr
         hidden = tuple(state0 for _ in range(self.n_gru_layers))
+        # start frame is fixed across the rollout: one SPADE modulation pass
+        mods = self.gen.spade_modulations(start_frame, motion.shape[1])
         frames = []
         for _ in range(length):
             hidden = self.rnn(in_rnn, hidden)
-            frames.append(self.gen(hidden[-1], start_frame, train=train))
+            frames.append(self.gen(hidden[-1], start_frame, train=train,
+                                   mods=mods))
         return jnp.stack(frames, axis=1)
 
     def __call__(self, X, rng=None, train: bool = False, poke=None,

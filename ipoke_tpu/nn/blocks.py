@@ -232,6 +232,14 @@ class NormConv2d(nn.Module):
 class Spade(nn.Module):
     """SPADE conditioning: parameter-free GroupNorm modulated by gamma/beta
     convs over the (resized) conditioning image (reference ``util.py:473-500``).
+
+    ``modulation(y, h, w)`` exposes the (gamma, beta) branch separately: it
+    depends only on the conditioning image, so a caller decoding T frames
+    from ONE start frame can compute it once and pass it back via ``mod=``
+    (the reference recomputes it every frame — identical math, ~10x the
+    conditioning-branch FLOPs).  Submodules carry the explicit names the
+    previous ``@nn.compact`` auto-naming produced (``GroupNorm_0``,
+    ``Conv_0..2``) so ported checkpoints load unchanged.
     """
 
     num_features: int
@@ -240,25 +248,38 @@ class Spade(nn.Module):
     align_corners: bool = False  # torch F.interpolate(align_corners=True)
     dtype: Dtype = None
 
-    @nn.compact
-    def __call__(self, x, y):
-        normalized = nn.GroupNorm(
+    def setup(self):
+        self.norm_layer = nn.GroupNorm(
             num_groups=_num_groups(self.num_features), use_bias=False,
             use_scale=False, epsilon=1e-5, dtype=self.dtype,
-        )(x)
+            name="GroupNorm_0",
+        )
+        self.conv_hidden = nn.Conv(
+            self.hidden, (3, 3), padding=1, dtype=self.dtype, name="Conv_0")
+        self.conv_gamma = nn.Conv(
+            self.num_features, (3, 3), padding=1, dtype=self.dtype,
+            name="Conv_1")
+        self.conv_beta = nn.Conv(
+            self.num_features, (3, 3), padding=1, dtype=self.dtype,
+            name="Conv_2")
+
+    def modulation(self, y, height: int, width: int):
+        """(gamma, beta) at the target resolution from the conditioning
+        image alone."""
         if self.align_corners:
-            y = resize_bilinear_align_corners(y, x.shape[1], x.shape[2])
+            y = resize_bilinear_align_corners(y, height, width)
         else:
             y = jax.image.resize(
-                y, (y.shape[0], x.shape[1], x.shape[2], y.shape[-1]),
-                "bilinear"
+                y, (y.shape[0], height, width, y.shape[-1]), "bilinear"
             )
-        y = jax.nn.leaky_relu(
-            nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype)(y), 0.2
-        )
-        gamma = nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype)(y)
-        beta = nn.Conv(self.num_features, (3, 3), padding=1, dtype=self.dtype)(y)
-        return normalized * (1.0 + gamma) + beta
+        y = jax.nn.leaky_relu(self.conv_hidden(y), 0.2)
+        return self.conv_gamma(y), self.conv_beta(y)
+
+    def __call__(self, x, y=None, mod=None):
+        if mod is None:
+            mod = self.modulation(y, x.shape[1], x.shape[2])
+        gamma, beta = mod
+        return self.norm_layer(x) * (1.0 + gamma) + beta
 
 
 class AdaIN(nn.Module):

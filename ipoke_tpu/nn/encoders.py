@@ -117,25 +117,51 @@ class SpadeCondConvDecoder(nn.Module):
     torch_compat: bool = False
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, h_t, start_frame, train: bool = False):
-        h = ResBlock(
+    def setup(self):
+        # explicit names reproduce the previous @nn.compact auto-naming so
+        # ported checkpoints / *_weights sidecars load unchanged
+        self.head = ResBlock(
             self.dec_channels[0], norm=self.norm, snorm=self.snorm,
-            dtype=self.dtype,
-        )(h_t, train)
-        for nf in self.dec_channels[1:]:
-            h = ResBlock(
+            dtype=self.dtype, name="ResBlock_0",
+        )
+        ups, spades = [], []
+        for i, nf in enumerate(self.dec_channels[1:]):
+            ups.append(ResBlock(
                 nf, norm="none", upsampling=True, snorm=self.snorm,
                 torch_crop=self.torch_compat, dtype=self.dtype,
-            )(h, train)
-            h = Spade(nf, norm=self.norm,
-                      align_corners=self.torch_compat,
-                      dtype=self.dtype)(h, start_frame)
-        return Conv2dBlock(
+                name=f"ResBlock_{i + 1}",
+            ))
+            spades.append(Spade(
+                nf, norm=self.norm, align_corners=self.torch_compat,
+                dtype=self.dtype, name=f"Spade_{i}",
+            ))
+        self.ups = tuple(ups)
+        self.spades = tuple(spades)
+        self.out = Conv2dBlock(
             self.out_channels, 3, 1, 1, norm="none",
             activation="tanh" if self.out_channels == 3 else "none",
-            dtype=self.dtype,
-        )(h, train)
+            dtype=self.dtype, name="Conv2dBlock_0",
+        )
+
+    def spade_modulations(self, start_frame, in_size: int):
+        """Per-level SPADE (gamma, beta) from the start frame alone — the
+        per-frame decode input ``h_t`` enters only through GroupNorm, so a
+        T-frame rollout from one start frame can compute these ONCE and pass
+        them to every frame via ``mods=`` (identical math to the reference's
+        per-frame recompute, ~T x fewer conditioning-branch FLOPs)."""
+        mods = []
+        size = in_size
+        for sp in self.spades:
+            size *= 2
+            mods.append(sp.modulation(start_frame, size, size))
+        return tuple(mods)
+
+    def __call__(self, h_t, start_frame, train: bool = False, mods=None):
+        h = self.head(h_t, train)
+        for i, (up, sp) in enumerate(zip(self.ups, self.spades)):
+            h = up(h, train)
+            h = sp(h, start_frame, mod=None if mods is None else mods[i])
+        return self.out(h, train)
 
 
 class FirstStageWrapper(nn.Module):

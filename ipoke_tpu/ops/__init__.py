@@ -17,6 +17,24 @@ def set_pallas(enabled: bool):
     _FORCE = bool(enabled)
 
 
+def fused_unit_enabled() -> bool:
+    """Gate for the fused MaCowUnit inverse kernel
+    (``masked_conv.macow_unit_inverse_pallas``).  Defaults to the TPU
+    backend being active (the kernel targets real TPU VMEM; on CPU the
+    portable lax path is used).  Override with ``set_pallas`` or env
+    ``IPOKE_TPU_FUSED_UNIT=0/1`` (falls back to ``IPOKE_TPU_PALLAS``)."""
+    if _FORCE is not None:
+        return _FORCE
+    env = os.environ.get("IPOKE_TPU_FUSED_UNIT",
+                         os.environ.get("IPOKE_TPU_PALLAS"))
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def pallas_enabled() -> bool:
     """Default OFF: measured on TPU v5e at the shipped 8x8 latent shapes, the
     portable lax row-scan inverse (0.52 ms for a 5-step cINN, B=8) beats the

@@ -54,3 +54,28 @@ def test_pallas_inverse_conditional():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x), atol=1e-4)
+
+
+@pytest.mark.parametrize("h_channels", [0, HC])
+def test_fused_unit_inverse(h_channels):
+    """The fused whole-unit kernel inverts MaCowUnit's forward exactly like
+    the portable Chain inverse."""
+    from ipoke_tpu.flows.macow import make_macow_unit
+    from ipoke_tpu.ops.masked_conv import macow_unit_inverse_pallas
+
+    unit = make_macow_unit(C, (2, 3), h_channels=h_channels)
+    x = jax.random.normal(K(20), (B, H, W, C))
+    h = jax.random.normal(K(21), (B, H, W, h_channels)) \
+        if h_channels else None
+    params = unit.init(K(22), x.shape)
+    # randomize the zero-init wn-convs and actnorms so the test is non-trivial
+    _, _, params = unit.ddi(params, x, h)
+    y, _ = unit.forward(params, x, h)
+    x_lax = unit.inverse(params, y, h)  # portable path (cpu backend)
+
+    x_pl = macow_unit_inverse_pallas(
+        y, h, [params[0], params[1], params[3], params[4]],
+        [params[2], params[5]], (2, 3), 1.0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_lax), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x), atol=1e-3)

@@ -1,0 +1,117 @@
+"""Honest shipped-scale NLL train-step timing on the real chip.
+
+Rounds 1-2 timed the 1054M cINN NLL step with ``block_until_ready`` (277-313
+ms), which on the remote backend can return at enqueue (see PERFORMANCE.md).
+This harness chains K steps through their state feedback — step k+1 consumes
+step k's params/opt-state, so the device cannot reorder or elide anything —
+and closes the window with ``jax.device_get`` of the final loss, which
+transitively depends on every step.  Reported: (t_K_steps) / K.
+
+Usage: python tools/measure_train_step.py [--steps 5] [--rounds 3]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=3e-5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ipoke_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    import __graft_entry__ as ge
+    from ipoke_tpu.core.optim import flow_adam, zero_buffer_grads
+    from ipoke_tpu.data.synthetic import make_batch
+    from ipoke_tpu.flows import flow_loss
+
+    B, T, S = args.batch, 10, 128
+    cpu = jax.devices("cpu")[0]
+    t0 = time.perf_counter()
+    with jax.default_device(cpu):
+        model, init_all = ge._make_models(
+            spatial=S, min_spatial=8, T=T, z_dim=32,
+            enc_ch=(64, 128, 256, 256, 256), dec_ch=(256, 256, 256, 128, 64),
+            nf_cond=64,
+            num_steps=(10, 5, 5, 4, 4, 4, 3, 3, 3, 2, 2, 2, 1, 1, 1),
+            mid_factor=64)
+        params, frozen = init_all()
+        batch_np = make_batch(np.random.default_rng(0), batch_size=B,
+                              n_frames=T, spatial_size=S)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if k in ("images", "poke", "flow")}
+    print(f"init on cpu: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    tx = flow_adam(args.lr, params=params, use_adafactor=True)
+
+    def train_step(params, opt, frozen, batch, rng):
+        def loss_fn(p):
+            z, logdet = model.forward_density(p, frozen, batch, rng)
+            loss, _ = flow_loss(z, logdet)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(params)
+        grads = zero_buffer_grads(grads, params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    def k_steps(params, opt, frozen, batch, rng):
+        def body(carry, _):
+            params, opt, rng = carry
+            rng, sub = jax.random.split(rng)
+            params, opt, loss = train_step(params, opt, frozen, batch, sub)
+            return (params, opt, rng), loss
+
+        (params, opt, _), losses = jax.lax.scan(
+            body, (params, opt, rng), None, length=args.steps)
+        return params, opt, losses
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+    t0 = time.perf_counter()
+    params = jax.device_put(params, dev)
+    opt = jax.jit(tx.init)(params)
+    frozen, batch = jax.device_put((frozen, batch), dev)
+    jax.device_get(jax.tree_util.tree_leaves(opt)[0])
+    print(f"transfer + opt init: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    fn = jax.jit(k_steps, donate_argnums=(0, 1))
+    # THREE warm calls: donated outputs can carry different layouts than the
+    # original inputs, so calls 2 and 3 can each recompile once before the
+    # layout chain reaches a fixed point (observed: a 335 s "warm 1" that
+    # was compile #2, then a 60 s "round 0" that was compile #3)
+    for w in range(3):
+        t0 = time.perf_counter()
+        params, opt, losses = fn(params, opt, frozen, batch,
+                                 jax.random.PRNGKey(w))
+        print(f"warm {w} (compile + window): {time.perf_counter() - t0:.0f}s "
+              f"losses {jax.device_get(losses)}", flush=True)
+    for r in range(args.rounds):
+        key = jax.device_put(jax.random.PRNGKey(100 + r), dev)
+        t0 = time.perf_counter()
+        params, opt, losses = fn(params, opt, frozen, batch, key)
+        final = float(jax.device_get(losses)[-1])
+        dt = time.perf_counter() - t0
+        print(f"round {r}: {dt / args.steps * 1e3:.1f} ms/step "
+              f"({args.steps} steps, final loss {final:.3f}, "
+              f"{B / (dt / args.steps):.1f} clips/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
