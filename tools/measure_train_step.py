@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--batch", type=int, default=40)
     ap.add_argument("--lr", type=float, default=3e-5)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16-compute: cast params+batch to bf16 inside the "
+                         "step (fp32 master params/optimizer); the per-step "
+                         "cast streams ~6 GB HBM (~8 ms) against the MXU "
+                         "saving on the 5.4-TFLOP coupling stack")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +67,16 @@ def main():
 
     def train_step(params, opt, frozen, batch, rng):
         def loss_fn(p):
-            z, logdet = model.forward_density(p, frozen, batch, rng)
+            if args.bf16:
+                bf = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    t)
+                z, logdet = model.forward_density(
+                    bf(p), bf(frozen), bf(batch), rng)
+                z, logdet = z.astype(jnp.float32), logdet.astype(jnp.float32)
+            else:
+                z, logdet = model.forward_density(p, frozen, batch, rng)
             loss, _ = flow_loss(z, logdet)
             return loss
 

@@ -70,14 +70,20 @@ def main():
     cond = _cond(*args_dev)
     jax.device_get(jnp.mean(cond))
 
-    def inverse_window(params, frozen, batch, rng):
-        def step(carry, _):
-            carry, sub = jax.random.split(carry)
-            z = jax.random.normal(sub, (X.shape[0], *z_shape), X.dtype)
-            motion = model.flow.inverse(params["flow"], z, cond)
-            return carry, jnp.mean(motion)
-        _, outs = jax.lax.scan(step, rng, None, length=args.iters)
-        return outs
+    def make_inverse_window():
+        # a FRESH function object per variant: jax.jit caches traces on the
+        # function identity, so reusing one closure across variants would
+        # silently reuse the first variant's trace and the monkeypatches
+        # would never be seen (observed: identical outputs + 0s compiles)
+        def inverse_window(params, frozen, batch, rng):
+            def step(carry, _):
+                carry, sub = jax.random.split(carry)
+                z = jax.random.normal(sub, (X.shape[0], *z_shape), X.dtype)
+                motion = model.flow.inverse(params["flow"], z, cond)
+                return carry, jnp.mean(motion)
+            _, outs = jax.lax.scan(step, rng, None, length=args.iters)
+            return outs
+        return inverse_window
 
     from ipoke_tpu import ops
     from ipoke_tpu.flows import macow as M
@@ -114,10 +120,13 @@ def main():
             saved.append((cls, attr, getattr(cls, attr)))
             setattr(cls, attr, fn)
         try:
-            fn_jit = jax.jit(inverse_window)
+            fn_jit = jax.jit(make_inverse_window())
             t0 = time.perf_counter()
-            jax.device_get(fn_jit(*args_dev))  # compile + warm
-            print(f"{name}: compile+warm {time.perf_counter() - t0:.0f}s",
+            warm = jax.device_get(fn_jit(*args_dev))  # compile + warm
+            # the first output element fingerprints the program: a stubbed
+            # variant MUST change it, or the patch never took effect
+            print(f"{name}: compile+warm {time.perf_counter() - t0:.0f}s "
+                  f"out[0]={float(warm[0]):.6f}",
                   file=sys.stderr, flush=True)
             times = []
             for r in range(args.rounds):
