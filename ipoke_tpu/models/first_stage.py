@@ -109,13 +109,44 @@ class FirstStageModel(nn.Module):
         The SPADE modulation maps depend only on the (fixed) start frame, so
         they are computed ONCE here and broadcast into the scan instead of
         being recomputed every frame (the reference recomputes them per frame
-        — same math, ~45% of the per-frame decode FLOPs at 128px)."""
+        — same math, ~45% of the per-frame decode FLOPs at 128px).
+
+        Inference additionally decouples the recurrence from the rendering:
+        only the tiny ConvGRU (8x8 latents) is scanned over T; the decoder —
+        where all the decode FLOPs live — then renders ALL T frames in ONE
+        batched apply over (T*B). Identical math (no cross-batch ops in the
+        decoder: GroupNorm is per-sample, SN eval uses stored u), but the
+        MXU sees T-times-larger matmul batches and the sequential chain
+        shrinks to the GRU."""
         hidden = tuple(motion for _ in range(self.n_gru_layers))
         if self.use_motion_bias:
             in_rnn = jnp.tile(self.motion_bias, (motion.shape[0], 1, 1, 1))
         else:
             in_rnn = motion
         mods = self.gen.spade_modulations(start_frame, motion.shape[1])
+
+        if not train:
+            def gru_body(mdl, hidden, _):
+                hidden = mdl.rnn(in_rnn, hidden)
+                return hidden, hidden[-1]
+
+            gru_scan = nn.scan(
+                gru_body,
+                variable_broadcast=["params", "batch_stats"],
+                variable_carry=False,
+                split_rngs={"params": False},
+                length=length,
+            )
+            _, hs = gru_scan(self, hidden, None)  # (T, B, s, s, z)
+            T, B = hs.shape[0], hs.shape[1]
+            flat = hs.reshape(T * B, *hs.shape[2:])
+            # frame index = t*B + b, matching jnp.tile's (T,1,1,1) layout
+            mods_t = tuple(
+                (jnp.tile(g, (T, 1, 1, 1)), jnp.tile(bt, (T, 1, 1, 1)))
+                for g, bt in mods)
+            frames = self.gen(flat, None, train=False, mods=mods_t)
+            frames = frames.reshape(T, B, *frames.shape[1:])
+            return jnp.moveaxis(frames, 0, 1)
 
         def body(mdl, hidden, _):
             hidden = mdl.rnn(in_rnn, hidden)

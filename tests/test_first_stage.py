@@ -77,3 +77,37 @@ def test_first_stage_forward_and_decode_shapes():
         v, motion, X[:, 0], 5, train=False, method=FirstStageModel.decode
     )
     assert frames.shape == (2, 5, 32, 32, 3)
+
+
+def test_batched_eval_decode_matches_per_frame_rollout():
+    """The inference decode batches all T frames into ONE decoder apply; it
+    must reproduce the per-frame rollout (the train-path scan body) exactly —
+    no cross-batch ops exist in the decoder."""
+    model, *_ = build_first_stage(TINY)
+    rng = jax.random.PRNGKey(0)
+    X = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 32, 32, 3))
+    v = model.init({"params": rng}, X, rng=jax.random.PRNGKey(1), train=False)
+    motion = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 8))
+    start = X[:, 0]
+    T = 5
+
+    from ipoke_tpu.models.first_stage import FirstStageModel
+
+    batched = model.apply(
+        v, motion, start, T, train=False, method=FirstStageModel.decode
+    )
+
+    # reference rollout: GRU step + one decoder apply per frame
+    def per_frame(mdl, motion, start, length):
+        hidden = tuple(motion for _ in range(mdl.n_gru_layers))
+        in_rnn = jnp.tile(mdl.motion_bias, (motion.shape[0], 1, 1, 1))
+        mods = mdl.gen.spade_modulations(start, motion.shape[1])
+        frames = []
+        for _ in range(length):
+            hidden = mdl.rnn(in_rnn, hidden)
+            frames.append(mdl.gen(hidden[-1], start, train=False, mods=mods))
+        return jnp.stack(frames, axis=1)
+
+    looped = model.apply(v, motion, start, T, method=per_frame)
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(looped), atol=2e-5, rtol=2e-5)
