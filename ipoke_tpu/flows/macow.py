@@ -130,15 +130,27 @@ class MaskedConvFlow(Flow):
         from ..ops import pallas_enabled
 
         if self.transform == "affine" and pallas_enabled():
-            from ..ops.masked_conv import masked_conv_inverse_pallas
-            from .primitives import _v_norm
+            # dispatch at LOWERING time: the Pallas kernel only exists for
+            # real TPU; a CPU-lowered program (jax.default_device(cpu) while
+            # the TPU backend is registered) takes the portable row scan
+            def fused():
+                from ..ops.masked_conv import masked_conv_inverse_pallas
+                from .primitives import _v_norm
 
-            out = params["out"]
-            w_out = (out["v"] * (out["g"] / _v_norm(out["v"])))[0, 0]
-            return masked_conv_inverse_pallas(
-                y, h if self.h_channels else None, params["w_shift"],
-                w_out, out["b"], self.order, self.alpha,
+                out = params["out"]
+                w_out = (out["v"] * (out["g"] / _v_norm(out["v"])))[0, 0]
+                return masked_conv_inverse_pallas(
+                    y, h if self.h_channels else None, params["w_shift"],
+                    w_out, out["b"], self.order, self.alpha,
+                )
+
+            return jax.lax.platform_dependent(
+                tpu=fused,
+                default=lambda: self._inverse_portable(params, y, h),
             )
+        return self._inverse_portable(params, y, h)
+
+    def _inverse_portable(self, params, y, h=None):
         if self.order in ("A", "B"):
             return self._inverse_height(params, y, h, reverse=(self.order == "B"))
         # C/D: transpose H<->W, kernel axes, run the height scan
@@ -331,14 +343,23 @@ class MaCowUnitChain(Chain):
         if (fused_unit_enabled() and isinstance(mcf, MaskedConvFlow)
                 and mcf.transform == "affine" and mcf.activation == "elu"
                 and y.shape[1] == y.shape[2]):
-            from ..ops.masked_conv import macow_unit_inverse_pallas
+            # lowering-time dispatch: the fused kernel is TPU-only; a program
+            # lowered for CPU (e.g. jax.default_device(cpu) while the remote
+            # TPU backend is registered) takes the portable chain instead
+            def fused():
+                from ..ops.masked_conv import macow_unit_inverse_pallas
 
-            x = macow_unit_inverse_pallas(
-                y, h if mcf.h_channels else None,
-                [params[0], params[1], params[3], params[4]],
-                [params[2], params[5]], mcf.kernel_size, mcf.alpha,
+                x = macow_unit_inverse_pallas(
+                    y, h if mcf.h_channels else None,
+                    [params[0], params[1], params[3], params[4]],
+                    [params[2], params[5]], mcf.kernel_size, mcf.alpha,
+                )
+                return x.astype(y.dtype)
+
+            return jax.lax.platform_dependent(
+                tpu=fused,
+                default=lambda: Chain.inverse(self, params, y, h),
             )
-            return x.astype(y.dtype)
         return super().inverse(params, y, h)
 
 

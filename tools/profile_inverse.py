@@ -11,6 +11,13 @@ monkeypatches — numerics change, timing structure doesn't):
                 -> lower bound if the row recurrence were free
   mcf_identity  MaskedConvFlow.inverse -> identity: NICE + priors + perms only
   nice_identity NICE2d.inverse -> identity: MCF + rest only
+  nice_dots     NICE convs rewritten as accumulated shifted matmuls
+                (identical math, fp32 accumulation) — tests whether XLA's
+                conv emitter at 8x8 spatial is the NICE bottleneck
+  nice_packed   the skinny NICE out conv (K=9*2048 -> N~32, ~25% MXU lane
+                utilization) tap-packed into ONE (M,2048)@(2048,9*out_c)
+                dot + 9 shifted adds (identical math, N~288 -> ~75% util);
+                w2 as a plain dot, w1 stays an XLA conv
 
 Each variant: K steps in ONE lax.scan window closed by jax.device_get
 (bench.py measurement design), median of R rounds.
@@ -94,6 +101,71 @@ def main():
         raw = self._net(params, y, h)
         return self._tr.bwd(y, self._tr.calc(raw))
 
+    def conv_as_dots(w, x):
+        """kxk SAME conv as k*k accumulated (B*H*W, C)@(C, N) matmuls —
+        identical math to conv_general_dilated, different emitter."""
+        kh, kw = w.shape[0], w.shape[1]
+        b, hh, ww, c = x.shape
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+        acc = None
+        for dy in range(kh):
+            for dx in range(kw):
+                xi = xp[:, dy:dy + hh, dx:dx + ww, :].reshape(b * hh * ww, c)
+                o = jax.lax.dot_general(
+                    xi, w[dy, dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = o if acc is None else acc + o
+        return acc.reshape(b, hh, ww, -1).astype(x.dtype)
+
+    from ipoke_tpu.flows.primitives import _v_norm
+    from ipoke_tpu.flows.primitives import plain_conv_apply as plain_conv
+
+    def nice_raw_dots(self, params, z, h):
+        act_fn = M._act(self.activation)
+        c = conv_as_dots(params["w1"], z)
+        c = act_fn(c)
+        c = conv_as_dots(params["w2"], c)
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        out = params["out"]
+        w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
+        return conv_as_dots(w_out, c) + out["b"]
+
+    def conv_tap_packed(w, x):
+        """kxk SAME conv via ONE (M,C)@(C, k*k*N) dot + k*k shifted adds.
+        For skinny-N convs this packs the MXU lanes k*k-fold."""
+        kh, kw = w.shape[0], w.shape[1]
+        cin, n = w.shape[2], w.shape[3]
+        b, hh, ww, _ = x.shape
+        wp = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * n)
+        u = jax.lax.dot_general(
+            x.reshape(b * hh * ww, cin), wp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, hh, ww, kh, kw, n)
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        up = jnp.pad(u, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw),
+                         (0, 0), (0, 0), (0, 0)))
+        acc = None
+        for dy in range(kh):
+            for dx in range(kw):
+                s = up[:, dy:dy + hh, dx:dx + ww, dy, dx, :]
+                acc = s if acc is None else acc + s
+        return acc.astype(x.dtype)
+
+    def nice_raw_packed(self, params, z, h):
+        act_fn = M._act(self.activation)
+        c = plain_conv(params["w1"], z, "SAME")
+        c = act_fn(c)
+        c = conv_as_dots(params["w2"], c)  # 1x1 -> one dot
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        out = params["out"]
+        w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
+        return conv_tap_packed(w_out, c) + out["b"]
+
     # all stub variants force the portable (non-fused) unit path so the
     # class-level MCF/NICE monkeypatches actually take effect
     patches = {
@@ -107,6 +179,10 @@ def main():
         "nice_identity": {
             (M.NICE2d, "inverse"): lambda self, p, y, h=None: y,
             (ops, "_FORCE_VALUE"): False},
+        "nice_dots": {(M.NICE2d, "_raw"): nice_raw_dots,
+                      (ops, "_FORCE_VALUE"): False},
+        "nice_packed": {(M.NICE2d, "_raw"): nice_raw_packed,
+                        (ops, "_FORCE_VALUE"): False},
     }
 
     results = {}
