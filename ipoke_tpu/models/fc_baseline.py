@@ -208,14 +208,23 @@ class FCBaselineModel(nn.Module):
 
     def decode(self, motion, start_frame, length: int, train: bool = False):
         hidden = [motion] * self.n_gru_layers
-        frames = []
+        hs = []
         for _ in range(length):
             inp = motion
             for i, cell in enumerate(self.cells):
                 hidden[i], _ = cell(hidden[i], inp)
                 inp = hidden[i]
-            frames.append(self.gen(hidden[-1], start_frame, train=train))
-        return jnp.stack(frames, axis=1)
+            hs.append(hidden[-1])
+        if not train:
+            # ONE batched generator apply over (B*T) (B-major flatten;
+            # identical math — see FirstStageModel.decode)
+            B = motion.shape[0]
+            flat = jnp.stack(hs, axis=1).reshape(B * length, -1)
+            sf = jnp.repeat(start_frame, length, axis=0)
+            frames = self.gen(flat, sf, train=False)
+            return frames.reshape(B, length, *frames.shape[1:])
+        return jnp.stack(
+            [self.gen(h, start_frame, train=train) for h in hs], axis=1)
 
     def __call__(self, X, rng=None, train: bool = False):
         motion, mu, logvar = self.encode(X, rng)

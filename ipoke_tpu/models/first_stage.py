@@ -139,14 +139,16 @@ class FirstStageModel(nn.Module):
             )
             _, hs = gru_scan(self, hidden, None)  # (T, B, s, s, z)
             T, B = hs.shape[0], hs.shape[1]
-            flat = hs.reshape(T * B, *hs.shape[2:])
-            # frame index = t*B + b, matching jnp.tile's (T,1,1,1) layout
+            # flatten B-MAJOR (frame index = b*T + t): under a dp mesh the
+            # batch axis is sharded, and keeping it the major factor of the
+            # merged (B*T) dim lets shard propagation split it cleanly
+            # instead of inserting resharding collectives
+            flat = jnp.moveaxis(hs, 0, 1).reshape(B * T, *hs.shape[2:])
             mods_t = tuple(
-                (jnp.tile(g, (T, 1, 1, 1)), jnp.tile(bt, (T, 1, 1, 1)))
+                (jnp.repeat(g, T, axis=0), jnp.repeat(bt, T, axis=0))
                 for g, bt in mods)
             frames = self.gen(flat, None, train=False, mods=mods_t)
-            frames = frames.reshape(T, B, *frames.shape[1:])
-            return jnp.moveaxis(frames, 0, 1)
+            return frames.reshape(B, T, *frames.shape[1:])
 
         def body(mdl, hidden, _):
             hidden = mdl.rnn(in_rnn, hidden)

@@ -84,12 +84,23 @@ class PokeVAEModel(nn.Module):
         hidden = tuple(state0 for _ in range(self.n_gru_layers))
         # start frame is fixed across the rollout: one SPADE modulation pass
         mods = self.gen.spade_modulations(start_frame, motion.shape[1])
-        frames = []
+        hs = []
         for _ in range(length):
             hidden = self.rnn(in_rnn, hidden)
-            frames.append(self.gen(hidden[-1], start_frame, train=train,
-                                   mods=mods))
-        return jnp.stack(frames, axis=1)
+            hs.append(hidden[-1])
+        if not train:
+            # render all frames in ONE batched decoder apply (B-major flatten;
+            # identical math — see FirstStageModel.decode)
+            B = motion.shape[0]
+            flat = jnp.stack(hs, axis=1).reshape(B * length, *hs[0].shape[1:])
+            mods_t = tuple(
+                (jnp.repeat(g, length, axis=0), jnp.repeat(b, length, axis=0))
+                for g, b in mods)
+            frames = self.gen(flat, None, train=False, mods=mods_t)
+            return frames.reshape(B, length, *frames.shape[1:])
+        return jnp.stack(
+            [self.gen(h, start_frame, train=train, mods=mods) for h in hs],
+            axis=1)
 
     def __call__(self, X, rng=None, train: bool = False, poke=None,
                  sample_prior: bool = False):
@@ -153,12 +164,17 @@ class RNNMotionModel(nn.Module):
         scene, *_ = self.enc_static(start_frame, train=train)
         hidden = tuple(motion for _ in range(self.n_gru_layers))
         x = scene
-        frames = []
+        xs = []
         for _ in range(length):
             hidden = self.rnn(x, hidden)
             x = self.post_hidden(hidden[-1])
-            frames.append(self.gen(x, train=train))
-        return jnp.stack(frames, axis=1)
+            xs.append(x)
+        if not train:
+            B = motion.shape[0]
+            flat = jnp.stack(xs, axis=1).reshape(B * length, *xs[0].shape[1:])
+            frames = self.gen(flat, train=False)
+            return frames.reshape(B, length, *frames.shape[1:])
+        return jnp.stack([self.gen(x, train=train) for x in xs], axis=1)
 
     def __call__(self, X, rng=None, train: bool = False, poke=None):
         del poke

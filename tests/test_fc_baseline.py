@@ -100,6 +100,31 @@ def test_fc_second_stage_density_and_sampling():
     assert bool(jnp.all(jnp.isfinite(vid)))
 
 
+def test_fc_batched_eval_decode_matches_per_frame():
+    model, *_ = build_first_stage(FC_CFG)
+    batch = _batch()
+    X = batch["images"]
+    v = model.init({"params": K(0)}, X, rng=K(1), train=False)
+    motion = jax.random.normal(K(2), (2, 16))
+
+    def per_frame(mdl, motion, start, length):
+        hidden = [motion] * mdl.n_gru_layers
+        frames = []
+        for _ in range(length):
+            inp = motion
+            for i, cell in enumerate(mdl.cells):
+                hidden[i], _ = cell(hidden[i], inp)
+                inp = hidden[i]
+            frames.append(mdl.gen(hidden[-1], start, train=False))
+        return jnp.stack(frames, axis=1)
+
+    batched = model.apply(v, motion, X[:, 0], 3, False,
+                          method=FCBaselineModel.decode)
+    looped = model.apply(v, motion, X[:, 0], 3, method=per_frame)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(looped),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_fc_wrapper_roundtrip_shapes():
     w = FirstStageFCWrapper(spatial_size=32, nf_in=2, nf_max=24)
     x = jnp.zeros((2, 32, 32, 2))

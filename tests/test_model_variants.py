@@ -94,6 +94,64 @@ def test_rnn_motion_model_shapes():
     assert X_hat.shape == (2, 3, 32, 32, 3)
 
 
+def test_baseline_batched_eval_decode_matches_per_frame():
+    """PokeVAE / RNNMotion eval decodes render all frames in ONE batched
+    generator apply; each must reproduce a per-frame rollout exactly."""
+    # PokeVAE
+    model, *_ = build_first_stage(VAE_CFG)
+    batch = _batch()
+    X, poke = batch["images"], batch["poke"]
+    v = model.init({"params": K(0)}, X, rng=K(1), poke=poke)
+
+    def vae_per_frame(mdl, motion, start, length, poke):
+        poke_repr = mdl._poke_repr(start, poke, False)
+        if mdl.stack_motion_and_poke:
+            state0 = jnp.concatenate([motion, poke_repr], axis=-1)
+            in_rnn = jnp.zeros_like(state0)
+        else:
+            state0, in_rnn = motion, poke_repr
+        hidden = tuple(state0 for _ in range(mdl.n_gru_layers))
+        mods = mdl.gen.spade_modulations(start, motion.shape[1])
+        frames = []
+        for _ in range(length):
+            hidden = mdl.rnn(in_rnn, hidden)
+            frames.append(mdl.gen(hidden[-1], start, train=False, mods=mods))
+        return jnp.stack(frames, axis=1)
+
+    motion = jax.random.normal(K(2), (2, 4, 4, 8))
+    batched = model.apply(v, motion, X[:, 0], 3, False, poke,
+                          method=PokeVAEModel.decode)
+    looped = model.apply(v, motion, X[:, 0], 3, poke, method=vae_per_frame)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(looped),
+                               atol=2e-5, rtol=2e-5)
+
+    # RNNMotion
+    m = RNNMotionModel(spatial_size=32, z_dim=8,
+                       enc_channels=(16, 16, 32, 32),
+                       dec_channels=(32, 32, 16, 16), n_gru_layers=2,
+                       min_spatial_size=4, max_frames=3)
+    X = jax.random.normal(K(3), (2, 4, 32, 32, 3))
+    v = m.init({"params": K(0)}, X, rng=K(1))
+
+    def rnn_per_frame(mdl, motion, start, length):
+        scene, *_ = mdl.enc_static(start, train=False)
+        hidden = tuple(motion for _ in range(mdl.n_gru_layers))
+        x = scene
+        frames = []
+        for _ in range(length):
+            hidden = mdl.rnn(x, hidden)
+            x = mdl.post_hidden(hidden[-1])
+            frames.append(mdl.gen(x, train=False))
+        return jnp.stack(frames, axis=1)
+
+    motion = jax.random.normal(K(4), (2, 4, 4, 8))
+    batched = m.apply(v, motion, X[:, 0], 3, False,
+                      method=RNNMotionModel.decode)
+    looped = m.apply(v, motion, X[:, 0], 3, method=rnn_per_frame)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(looped),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_generator3d_shapes():
     g = Generator3D(nf=8, z_dim=16, spatial_size=32, max_frames=5)
     z = jax.random.normal(K(0), (2, 16))
