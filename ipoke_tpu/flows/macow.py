@@ -35,6 +35,7 @@ from .primitives import (
     plain_conv_apply,
     shifted_conv_apply,
     wn_conv_apply,
+    wn_conv_apply_packed,
     wn_conv_ddi,
     wn_conv_init,
 )
@@ -284,7 +285,11 @@ class NICE2d(Flow):
         return act(c)
 
     def _raw(self, params, z, h):
-        return wn_conv_apply(params["out"], self._net_hidden(params, z, h), "SAME")
+        # the out conv is SKINNY (N = out_channels*n_params, e.g. 4 at the
+        # shipped factor-16 scale, vs Cin ~ 2048): tap-packed form keeps the
+        # MXU lanes filled (identical math — see wn_conv_apply_packed)
+        return wn_conv_apply_packed(
+            params["out"], self._net_hidden(params, z, h))
 
     def _zp_z(self, z1, z2):
         return (z1, z2) if self.order == "up" else (z2, z1)

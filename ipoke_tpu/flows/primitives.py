@@ -235,6 +235,40 @@ def wn_conv_apply(params, x, padding="SAME"):
     return y + params["b"]
 
 
+def wn_conv_apply_packed(params, x):
+    """3x3 SAME weight-norm conv as ONE (M, Cin) @ (Cin, 9*N) dot plus nine
+    shifted adds — identical math to ``wn_conv_apply``.
+
+    Rationale: every NICE coupling ends in a SKINNY conv (Cin ~ 2048 hidden,
+    N = out_channels * n_params ~ 4 at the shipped factor-16 scale).  As a
+    conv/dot that is K=9*2048 -> N=4, using 4 of the MXU's 128 lanes; packing
+    the 9 taps into the N dimension (N=36) keeps the same FLOPs but 9x the
+    lane utilization, and the shifted adds are a cheap (B,H,W,N) elementwise
+    epilogue.  Accumulation is fp32 (``preferred_element_type``), matching
+    the TPU conv emitter, then cast back to the input dtype.
+    """
+    v, g, b = params["v"], params["g"], params["b"]
+    kh, kw, cin, n = v.shape
+    w = (v * (g / _v_norm(v))).astype(x.dtype)
+    bsz, hh, ww, _ = x.shape
+    wp = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, kh * kw * n)
+    u = jax.lax.dot_general(
+        x.reshape(bsz * hh * ww, cin), wp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bsz, hh, ww, kh, kw, n)
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    up = jnp.pad(u, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw),
+                     (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            # the tap that sees input pixel (y+dy-ph, x+dx-pw) contributes to
+            # output pixel (y, x): shift the per-tap plane accordingly
+            s = up[:, dy:dy + hh, dx:dx + ww, dy, dx, :]
+            acc = s if acc is None else acc + s
+    return acc.astype(x.dtype) + params["b"]
+
+
 def wn_conv_ddi(params, x, padding="SAME", init_scale=1.0):
     """Data-dependent re-init of (g, b) so outputs have ~zero mean / unit std
     scaled by ``init_scale`` (reference ``macow_utils.py:231-246``)."""

@@ -139,6 +139,31 @@ def test_nice2d(split, order):
     np.testing.assert_allclose(np.asarray(ld), ld_ref, atol=5e-3)
 
 
+@pytest.mark.parametrize("k,n,odd", [(3, 4, False), (3, 4, True), (1, 4, False),
+                                     (3, 130, False)])
+def test_wn_conv_packed_matches_plain(k, n, odd):
+    """wn_conv_apply_packed (NICE's MXU-lane-packed out conv) must equal the
+    plain conv emitter bit-for-tolerance, incl. non-square / even spatial."""
+    from ipoke_tpu.flows.primitives import (
+        wn_conv_apply,
+        wn_conv_apply_packed,
+        wn_conv_init,
+    )
+
+    key = jax.random.PRNGKey(33)
+    k1, k2, k3 = jax.random.split(key, 3)
+    cin = 24
+    h, w = (7, 10) if odd else (8, 8)
+    params = wn_conv_init(k1, k, k, cin, n)
+    params["g"] = 0.5 * jax.random.normal(k2, params["g"].shape)
+    params["b"] = 0.1 * jax.random.normal(k3, params["b"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(34), (2, h, w, cin))
+    ref = wn_conv_apply(params, x, "SAME")
+    got = wn_conv_apply_packed(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_macow_unit_roundtrip():
     flow = make_macow_unit(C, (2, 3), h_channels=HC)
     check_flow(flow, key=5, h_channels=HC, check_logdet=False)

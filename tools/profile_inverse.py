@@ -18,6 +18,10 @@ monkeypatches — numerics change, timing structure doesn't):
                 utilization) tap-packed into ONE (M,2048)@(2048,9*out_c)
                 dot + 9 shifted adds (identical math, N~288 -> ~75% util);
                 w2 as a plain dot, w1 stays an XLA conv
+  nice_im2col   all-dot NICE: w1 as ONE im2col (M,9*in1)@(9*in1,hid) dot,
+                w2 as a dot, out tap-packed
+  nice_plainout the pre-round-3 NICE out conv (plain conv emitter) — the
+                baseline the shipped tap-packed _raw replaced
 
 Each variant: K steps in ONE lax.scan window closed by jax.device_get
 (bench.py measurement design), median of R rounds.
@@ -166,6 +170,43 @@ def main():
         w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
         return conv_tap_packed(w_out, c) + out["b"]
 
+    def conv_im2col(w, x):
+        """kxk SAME conv as ONE (M, k*k*C)@(k*k*C, N) dot over gathered
+        patches — maximizes the contraction dim for fat-N convs (w1)."""
+        kh, kw = w.shape[0], w.shape[1]
+        b, hh, ww, c = x.shape
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+        cols = jnp.concatenate(
+            [xp[:, dy:dy + hh, dx:dx + ww, :]
+             for dy in range(kh) for dx in range(kw)], axis=-1)
+        o = jax.lax.dot_general(
+            cols.reshape(b * hh * ww, kh * kw * c),
+            w.reshape(kh * kw * c, w.shape[3]),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return o.reshape(b, hh, ww, -1).astype(x.dtype)
+
+    def nice_raw_im2col(self, params, z, h):
+        # w1 im2col + w2 dot + packed out: the all-dot NICE candidate
+        act_fn = M._act(self.activation)
+        c = conv_im2col(params["w1"], z)
+        c = act_fn(c)
+        c = conv_as_dots(params["w2"], c)
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        out = params["out"]
+        w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
+        return conv_tap_packed(w_out, c) + out["b"]
+
+    from ipoke_tpu.flows.primitives import wn_conv_apply
+
+    def nice_raw_plainout(self, params, z, h):
+        # the pre-round-3 NICE: plain conv emitter for the skinny out conv
+        return wn_conv_apply(params["out"],
+                             self._net_hidden(params, z, h), "SAME")
+
     # all stub variants force the portable (non-fused) unit path so the
     # class-level MCF/NICE monkeypatches actually take effect
     patches = {
@@ -183,6 +224,10 @@ def main():
                       (ops, "_FORCE_VALUE"): False},
         "nice_packed": {(M.NICE2d, "_raw"): nice_raw_packed,
                         (ops, "_FORCE_VALUE"): False},
+        "nice_im2col": {(M.NICE2d, "_raw"): nice_raw_im2col,
+                        (ops, "_FORCE_VALUE"): False},
+        "nice_plainout": {(M.NICE2d, "_raw"): nice_raw_plainout,
+                          (ops, "_FORCE_VALUE"): False},
     }
 
     results = {}
