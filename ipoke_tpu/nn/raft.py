@@ -445,6 +445,122 @@ def train_raft_synthetic(steps: int = 400, size: int = 32, batch: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Self-supervised fine-tuning (no labels, no torch checkpoint)
+#
+# The reference's prep pipeline depends on pretrained FlowNet2 CUDA weights
+# (ref models/flownet2/*); this is the egress-free alternative: fine-tune
+# the JAX RAFT on raw clip pairs with a photometric warp loss + edge-aware
+# smoothness (UnFlow/SelFlow-style, simplified — charbonnier data term,
+# out-of-bounds pixels masked instead of occlusion-reasoned).
+# ---------------------------------------------------------------------------
+
+
+def warp_image(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward warp: out(x) = img(x + flow(x)).  img/flow (B, H, W, C/2)."""
+    B, H, W, C = img.shape
+    gx, gy = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
+    base = jnp.stack([gx, gy], axis=-1).astype(flow.dtype)  # (H, W, (x,y))
+    coords = base[None] + flow
+    return bilinear_sample(img, coords.reshape(B, H * W, 2)).reshape(
+        B, H, W, C)
+
+
+def _charbonnier(x, eps: float = 1e-3):
+    return jnp.sqrt(x * x + eps * eps)
+
+
+def photometric_selfsup_loss(flow_preds_up, image1, image2,
+                             gamma: float = 0.8,
+                             smooth_weight: float = 0.1,
+                             edge_scale: float = 10.0):
+    """Exponentially-weighted self-supervised loss over iteration outputs:
+    charbonnier photometric error of image1 warped by the predicted flow vs
+    image2 — the training-target convention ``image1(x + f(x)) == image2(x)``
+    established by ``synthetic_flow_batch``/``sequence_loss`` — with
+    out-of-bounds samples masked, + first-order smoothness downweighted at
+    image edges."""
+    n = flow_preds_up.shape[0]
+    w = gamma ** jnp.arange(n - 1, -1, -1)
+    B, H, W, _ = image1.shape
+    gx, gy = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
+    base = jnp.stack([gx, gy], axis=-1).astype(image1.dtype)
+    idx = jnp.mean(jnp.abs(image2[:, :, 1:] - image2[:, :, :-1]), axis=-1,
+                   keepdims=True)
+    idy = jnp.mean(jnp.abs(image2[:, 1:] - image2[:, :-1]), axis=-1,
+                   keepdims=True)
+
+    def one(flow):
+        coords = base[None] + flow
+        inb = ((coords[..., 0] >= 0) & (coords[..., 0] <= W - 1)
+               & (coords[..., 1] >= 0) & (coords[..., 1] <= H - 1))
+        warped = warp_image(image1, flow)
+        photo = jnp.sum(
+            _charbonnier(warped - image2) * inb[..., None]
+        ) / (jnp.sum(inb) * image1.shape[-1] + 1e-6)
+        fdx = flow[:, :, 1:] - flow[:, :, :-1]
+        fdy = flow[:, 1:] - flow[:, :-1]
+        smooth = (jnp.mean(jnp.abs(fdx) * jnp.exp(-edge_scale * idx))
+                  + jnp.mean(jnp.abs(fdy) * jnp.exp(-edge_scale * idy)))
+        return photo + smooth_weight * smooth
+
+    losses = jax.vmap(one)(flow_preds_up)
+    return jnp.sum(w * losses)
+
+
+def make_raft_selfsup_step(model: RAFT, tx, gamma: float = 0.8,
+                           smooth_weight: float = 0.1):
+    """Label-free train step: batches carry only image1/image2 pairs."""
+    import optax
+
+    def train_step(params, stats, opt, batch, _rng):
+        def loss_fn(p):
+            final, (flows, ups) = model.apply(
+                {"params": p, "batch_stats": stats}, batch["image1"],
+                batch["image2"], with_intermediate=True)
+            loss = photometric_selfsup_loss(
+                ups, batch["image1"], batch["image2"], gamma, smooth_weight)
+            return loss, final
+
+        (loss, final), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, upd)
+        return params, stats, opt, {"loss": loss, "final": final}
+
+    return jax.jit(train_step)
+
+
+def finetune_raft_selfsup(model: RAFT, variables, batches, steps: int = 200,
+                          lr: float = 2e-4, smooth_weight: float = 0.1,
+                          log_every: int = 0):
+    """Fine-tune (or train from scratch) on an iterator/callable of
+    ``{"image1", "image2"}`` batches — e.g. consecutive frames of the target
+    dataset's clips — and return updated variables.
+
+    ``batches`` is either an iterable of batch dicts or a callable
+    ``step_idx -> batch``.  Global-norm clipping + AdamW as in the
+    supervised recipe."""
+    import optax
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(lr, weight_decay=1e-5))
+    opt = tx.init(params)
+    step_fn = make_raft_selfsup_step(model, tx, smooth_weight=smooth_weight)
+    get = batches if callable(batches) else (
+        lambda i, _it=iter(batches): next(_it))
+    log = {}
+    for i in range(steps):
+        batch = get(i)
+        params, stats, opt, log = step_fn(params, stats, opt, batch, None)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"raft selfsup step {i + 1}: "
+                  f"loss={float(log['loss']):.4f}")
+    return {"params": params, "batch_stats": stats}, log
+
+
+# ---------------------------------------------------------------------------
 # torch weight conversion + prep-estimator registration
 # ---------------------------------------------------------------------------
 
