@@ -164,6 +164,30 @@ def test_wn_conv_packed_matches_plain(k, n, odd):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_wn_conv_packed_bf16_accumulates_in_fp32():
+    """The bench path runs bf16 params/activations; the packed conv's fp32
+    accumulation must track the fp32 reference within bf16 rounding."""
+    from ipoke_tpu.flows.primitives import (
+        wn_conv_apply,
+        wn_conv_apply_packed,
+        wn_conv_init,
+    )
+
+    key = jax.random.PRNGKey(55)
+    params = wn_conv_init(key, 3, 3, 256, 4)
+    params["g"] = 0.5 * jax.random.normal(jax.random.PRNGKey(56),
+                                          params["g"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(57), (2, 8, 8, 256))
+    ref = wn_conv_apply(params, x, "SAME")  # fp32 reference
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), t)
+    got = wn_conv_apply_packed(cast(params), cast(x))
+    assert got.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref))) / scale
+    assert rel < 0.05, rel  # bf16 input rounding, not accumulation blowup
+
+
 def test_macow_unit_roundtrip():
     flow = make_macow_unit(C, (2, 3), h_channels=HC)
     check_flow(flow, key=5, h_channels=HC, check_logdet=False)
