@@ -30,9 +30,23 @@ def main():
                          "step (fp32 master params/optimizer); the per-step "
                          "cast streams ~6 GB HBM (~8 ms) against the MXU "
                          "saving on the 5.4-TFLOP coupling stack")
+    ap.add_argument("--small", action="store_true",
+                    help="CI-sized build (64px, 12M params) for harness "
+                         "sanity off-TPU")
+    ap.add_argument("--phase", choices=["full", "fwd", "fwdbwd"],
+                    default="full",
+                    help="attribution: fwd = NLL forward only (independent "
+                         "iterations, throughput-style); fwdbwd = "
+                         "value_and_grad + SGD(1e-12) feedback (grads "
+                         "materialized, optimizer ~= one param-tree "
+                         "read-modify-write); full = shipped Adafactor step")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("IPOKE_DRIVE_CPU") == "1":  # sanity runs off-TPU
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -47,15 +61,20 @@ def main():
     from ipoke_tpu.flows import flow_loss
 
     B, T, S = args.batch, 10, 128
+    kw = dict(spatial=S, min_spatial=8, T=T, z_dim=32,
+              enc_ch=(64, 128, 256, 256, 256),
+              dec_ch=(256, 256, 256, 128, 64), nf_cond=64,
+              num_steps=(10, 5, 5, 4, 4, 4, 3, 3, 3, 2, 2, 2, 1, 1, 1),
+              mid_factor=64)
+    if args.small:
+        B, S = min(B, 8), 64
+        kw.update(spatial=S, enc_ch=(32, 64, 128, 128),
+                  dec_ch=(128, 128, 64, 32), nf_cond=32,
+                  num_steps=(2, 2, 1), mid_factor=8)
     cpu = jax.devices("cpu")[0]
     t0 = time.perf_counter()
     with jax.default_device(cpu):
-        model, init_all = ge._make_models(
-            spatial=S, min_spatial=8, T=T, z_dim=32,
-            enc_ch=(64, 128, 256, 256, 256), dec_ch=(256, 256, 256, 128, 64),
-            nf_cond=64,
-            num_steps=(10, 5, 5, 4, 4, 4, 3, 3, 3, 2, 2, 2, 1, 1, 1),
-            mid_factor=64)
+        model, init_all = ge._make_models(**kw)
         params, frozen = init_all()
         batch_np = make_batch(np.random.default_rng(0), batch_size=B,
                               n_frames=T, spatial_size=S)
@@ -63,7 +82,10 @@ def main():
                  if k in ("images", "poke", "flow")}
     print(f"init on cpu: {time.perf_counter() - t0:.0f}s", flush=True)
 
-    tx = flow_adam(args.lr, params=params, use_adafactor=True)
+    if args.phase == "fwdbwd":
+        tx = optax.sgd(1e-12)
+    else:
+        tx = flow_adam(args.lr, params=params, use_adafactor=True)
 
     def train_step(params, opt, frozen, batch, rng):
         def loss_fn(p):
@@ -80,6 +102,8 @@ def main():
             loss, _ = flow_loss(z, logdet)
             return loss
 
+        if args.phase == "fwd":
+            return params, opt, loss_fn(params)
         loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(params)
         grads = zero_buffer_grads(grads, params)
         upd, opt = tx.update(grads, opt, params)
@@ -102,7 +126,9 @@ def main():
     params = jax.device_put(params, dev)
     opt = jax.jit(tx.init)(params)
     frozen, batch = jax.device_put((frozen, batch), dev)
-    jax.device_get(jax.tree_util.tree_leaves(opt)[0])
+    leaves = jax.tree_util.tree_leaves(opt)  # sgd state has none
+    jax.device_get(leaves[0] if leaves
+                   else jax.tree_util.tree_leaves(params)[0])
     print(f"transfer + opt init: {time.perf_counter() - t0:.0f}s", flush=True)
 
     fn = jax.jit(k_steps, donate_argnums=(0, 1))
