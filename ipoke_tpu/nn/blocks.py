@@ -82,6 +82,53 @@ def _num_groups(channels: int, max_groups: int = 16) -> int:
     return g
 
 
+class _SmallNConv(nn.Module):
+    """Param-compatible drop-in for a stride-1 SAME ``nn.Conv`` whose output
+    channel count is TINY (the decoders' final RGB/flow convs: N=2-3 of the
+    MXU's 128 lanes).  Emits the identical conv as ONE
+    (M, Cin) @ (Cin, k*k*N) dot — k*k times the lane utilization — plus k*k
+    shifted adds of cheap (B, H, W, N) planes; fp32 accumulation like the
+    conv emitter.  Same param names/shapes/init as ``nn.Conv`` so existing
+    checkpoints and the torch-porting paths load unchanged."""
+
+    features: int
+    ks: int = 3
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.ks, self.ks, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        if bias is None:
+            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        else:
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+        k = self.ks
+        b, hh, ww, _ = x.shape
+        wp = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+            cin, k * k * self.features)
+        u = jax.lax.dot_general(
+            x.reshape(b * hh * ww, cin), wp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, hh, ww, k, k, self.features)
+        p = (k - 1) // 2
+        up = jnp.pad(u, ((0, 0), (p, k - 1 - p), (p, k - 1 - p),
+                         (0, 0), (0, 0), (0, 0)))
+        acc = None
+        for dy in range(k):
+            for dx in range(k):
+                s = up[:, dy:dy + hh, dx:dx + ww, dy, dx, :]
+                acc = s if acc is None else acc + s
+        out = acc.astype(x.dtype)
+        return out if bias is None else out + bias
+
+
 class Conv2dBlock(nn.Module):
     """conv -> norm -> activation (reference ``util.py:195-273``)."""
 
@@ -97,19 +144,83 @@ class Conv2dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = nn.Conv(
-            self.out_dim, (self.ks, self.ks), strides=(self.st, self.st),
-            padding=self.padding, use_bias=self.use_bias, dtype=self.dtype,
-        )
-        if self.snorm:
-            x = nn.SpectralNorm(conv)(x, update_stats=train)
+        # skinny-N stride-1 SAME convs take the MXU-lane-packed emitter
+        # (identical math + identical param tree, name pinned to Conv_0)
+        if (not self.snorm and self.st == 1 and self.ks % 2 == 1
+                and self.padding == self.ks // 2 and self.out_dim <= 8):
+            x = _SmallNConv(self.out_dim, self.ks, use_bias=self.use_bias,
+                            dtype=self.dtype, name="Conv_0")(x)
         else:
-            x = conv(x)
+            conv = nn.Conv(
+                self.out_dim, (self.ks, self.ks),
+                strides=(self.st, self.st), padding=self.padding,
+                use_bias=self.use_bias, dtype=self.dtype,
+            )
+            if self.snorm:
+                x = nn.SpectralNorm(conv)(x, update_stats=train)
+            else:
+                x = conv(x)
         norm = make_norm(self.norm, self.out_dim, self.dtype)
         if norm is not None:
             x = norm(x)
         act = get_activation(self.activation)
         return act(x) if act is not None else x
+
+
+def phase_deconv_enabled() -> bool:
+    """Gate for the phase-decomposed 2x transpose conv (exact subpixel
+    identity).  A k3-s2 transpose conv lowered as an input-dilated conv
+    multiplies 75% zeros; the four phase convs (1x1 + 1x2 + 2x1 + 2x2 taps =
+    2.25 MACs/output px vs 9) compute the identical result.  Override with
+    env ``IPOKE_PHASE_DECONV=0``."""
+    import os
+
+    return os.environ.get("IPOKE_PHASE_DECONV", "1") not in (
+        "0", "false", "False")
+
+
+class _PhaseConvTranspose2x(nn.Module):
+    """Param-compatible drop-in for ``nn.ConvTranspose(features, (3, 3),
+    strides (2, 2), padding SAME, transpose_kernel=False)`` computing the
+    SAME outputs via the subpixel/phase decomposition: output phase
+    (y%2, x%2) is a small conv of the un-dilated input with a stride-2
+    sub-slice of the kernel, then the four phases interleave.  Identical
+    param tree ('kernel' (3,3,Cin,N) + 'bias') so checkpoints cross-load;
+    exactness is pinned by tests/test_nn.py against the flax module."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        if bias is None:
+            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        else:
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        conv = lambda w, pad: jax.lax.conv_general_dilated(
+            x, w, (1, 1), pad, dimension_numbers=dn)
+        # lax.conv_transpose(SAME, transpose_kernel=False) is the flipped
+        # adjoint: out[2i] = in[i-1]*k[0] + in[i]*k[2] (pad top/left), and
+        # out[2i+1] = in[i]*k[1] — pinned by the impulse response in
+        # tests/test_nn.py::test_phase_deconv_matches_flax_conv_transpose
+        p00 = conv(kernel[0::2, 0::2], [(1, 0), (1, 0)])
+        p01 = conv(kernel[0::2, 1:2], [(1, 0), (0, 0)])
+        p10 = conv(kernel[1:2, 0::2], [(0, 0), (1, 0)])
+        p11 = conv(kernel[1:2, 1:2], [(0, 0), (0, 0)])
+        b, hh, ww, n = p00.shape
+        out = jnp.stack([
+            jnp.stack([p00, p01], axis=3),
+            jnp.stack([p10, p11], axis=3),
+        ], axis=2).reshape(b, 2 * hh, 2 * ww, n)
+        return out if bias is None else out + bias
 
 
 class Conv2dTransposeBlock(nn.Module):
@@ -131,11 +242,18 @@ class Conv2dTransposeBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = nn.ConvTranspose(
-            self.out_dim, (self.ks, self.ks), strides=(self.st, self.st),
-            padding="VALID" if self.torch_crop else "SAME",
-            transpose_kernel=self.torch_crop, dtype=self.dtype,
-        )
+        if (not self.torch_crop and self.ks == 3 and self.st == 2
+                and phase_deconv_enabled()):
+            conv = _PhaseConvTranspose2x(
+                self.out_dim, dtype=self.dtype, name="ConvTranspose_0")
+        else:
+            conv = nn.ConvTranspose(
+                self.out_dim, (self.ks, self.ks),
+                strides=(self.st, self.st),
+                padding="VALID" if self.torch_crop else "SAME",
+                transpose_kernel=self.torch_crop, dtype=self.dtype,
+                name="ConvTranspose_0",
+            )
         if self.snorm:
             x = nn.SpectralNorm(conv)(x, update_stats=train)
         else:

@@ -134,3 +134,69 @@ def test_video_vis_utils(tmp_path):
     p3 = make_transfer_grid(target, x0, target, str(tmp_path / "tr.mp4"))
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 0
+
+
+@pytest.mark.parametrize("n,ks,odd_spatial", [(3, 3, False), (2, 3, True),
+                                              (1, 1, False), (8, 5, False)])
+def test_conv2dblock_small_n_packed_matches_conv(n, ks, odd_spatial):
+    """The skinny-N packed emitter must equal a plain nn.Conv apply on the
+    SAME params (identical param tree: Conv_0/{kernel,bias})."""
+    from flax import linen as fnn
+
+    from ipoke_tpu.nn.blocks import Conv2dBlock
+
+    h, w = (11, 14) if odd_spatial else (8, 8)
+    x = jax.random.normal(K(0), (2, h, w, 16))
+    blk = Conv2dBlock(out_dim=n, ks=ks, st=1, padding=ks // 2, norm="none",
+                      activation="none")
+    v = blk.init(K(1), x)
+    kp = v["params"]["Conv_0"]
+    assert set(kp) == {"kernel", "bias"}
+    assert kp["kernel"].shape == (ks, ks, 16, n)
+    got = blk.apply(v, x)
+    want = jax.lax.conv_general_dilated(
+        x, kp["kernel"], (1, 1), [(ks // 2, ks // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + kp["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_conv2dblock_small_n_param_tree_stable():
+    """out_dim > 8 keeps the plain nn.Conv; both variants expose the same
+    Conv_0 param paths so checkpoints cross-load."""
+    from ipoke_tpu.nn.blocks import Conv2dBlock
+
+    x = jax.random.normal(K(0), (1, 8, 8, 4))
+    trees = []
+    for n in (3, 16):
+        v = Conv2dBlock(out_dim=n, ks=3, st=1, padding=1).init(K(1), x)
+        trees.append(jax.tree_util.tree_structure(v))
+    assert trees[0] == trees[1]
+
+
+@pytest.mark.parametrize("odd,snorm", [(False, False), (True, False),
+                                       (False, True)])
+def test_phase_deconv_matches_flax_conv_transpose(odd, snorm):
+    """_PhaseConvTranspose2x must equal nn.ConvTranspose(k3, s2, SAME) on
+    the SAME params — incl. odd spatial sizes and under SpectralNorm."""
+    import os
+
+    from flax import linen as fnn
+
+    from ipoke_tpu.nn.blocks import Conv2dTransposeBlock
+
+    h, w = (7, 10) if odd else (8, 8)
+    x = jax.random.normal(K(0), (2, h, w, 12))
+    blk = Conv2dTransposeBlock(out_dim=6, norm="none", activation="none",
+                               snorm=snorm)
+    os.environ["IPOKE_PHASE_DECONV"] = "1"
+    try:
+        v = blk.init(K(1), x)
+        got = blk.apply(v, x)
+        os.environ["IPOKE_PHASE_DECONV"] = "0"
+        want = blk.apply(v, x)  # same variables, flax emitter
+    finally:
+        os.environ.pop("IPOKE_PHASE_DECONV", None)
+    assert got.shape == (2, 2 * h, 2 * w, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
