@@ -31,6 +31,7 @@ from .primitives import (
     InvConvLU,
     Shuffle,
     SpaceToDepth,
+    conv_im2col,
     get_transform,
     plain_conv_apply,
     shifted_conv_apply,
@@ -277,7 +278,11 @@ class NICE2d(Flow):
 
     def _net_hidden(self, params, z, h):
         act = _act(self.activation)
-        c = plain_conv_apply(params["w1"], z, padding="SAME")
+        # w1 contracts only in1 ~ (1-1/factor)*in_channels channels (e.g. 30
+        # at the shipped scale) — as a conv the MXU pads that to 128 lanes
+        # per tap (~4x wasted K); the im2col form pads once over 9*in1
+        # (identical math, see conv_im2col)
+        c = conv_im2col(params["w1"], z)
         c = act(c)
         c = plain_conv_apply(params["w2"], c, padding="SAME")
         if self.h_channels:

@@ -235,6 +235,30 @@ def wn_conv_apply(params, x, padding="SAME"):
     return y + params["b"]
 
 
+def conv_im2col(w, x):
+    """kxk SAME conv as ONE (M, k*k*Cin) @ (k*k*Cin, N) dot over gathered
+    patches — identical math to ``plain_conv_apply(..., "SAME")``.
+
+    For convs whose INPUT channel count is far below the MXU's 128-lane
+    contraction granule (NICE's w1: in1 ~ 30 -> hidden 2048), the conv
+    emitter pads every tap's K to 128 (~4x wasted MACs); gathering the
+    k*k taps into one contraction pads once over k*k*Cin instead.  fp32
+    accumulation like the conv emitter, cast back to the input dtype."""
+    kh, kw, cin, n = w.shape
+    b, hh, ww, _ = x.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    cols = jnp.concatenate(
+        [xp[:, dy:dy + hh, dx:dx + ww, :]
+         for dy in range(kh) for dx in range(kw)], axis=-1)
+    out = jax.lax.dot_general(
+        cols.reshape(b * hh * ww, kh * kw * cin),
+        w.reshape(kh * kw * cin, n),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.reshape(b, hh, ww, n).astype(x.dtype)
+
+
 def wn_conv_apply_packed(params, x):
     """3x3 SAME weight-norm conv as ONE (M, Cin) @ (Cin, 9*N) dot plus nine
     shifted adds — identical math to ``wn_conv_apply``.

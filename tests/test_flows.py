@@ -164,6 +164,22 @@ def test_wn_conv_packed_matches_plain(k, n, odd):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("k,odd", [(3, False), (3, True), (1, False),
+                                   (2, False)])
+def test_conv_im2col_matches_conv_emitter(k, odd):
+    """conv_im2col (NICE's w1 path) must equal plain_conv_apply SAME."""
+    from ipoke_tpu.flows.primitives import conv_im2col, plain_conv_apply
+
+    cin, n = 30, 64
+    h, w = (7, 10) if odd else (8, 8)
+    wk = 0.1 * jax.random.normal(jax.random.PRNGKey(60), (k, k, cin, n))
+    x = jax.random.normal(jax.random.PRNGKey(61), (2, h, w, cin))
+    ref = plain_conv_apply(wk, x, padding="SAME")
+    got = conv_im2col(wk, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_wn_conv_packed_bf16_accumulates_in_fp32():
     """The bench path runs bf16 params/activations; the packed conv's fp32
     accumulation must track the fp32 reference within bf16 rounding."""
