@@ -19,9 +19,10 @@ monkeypatches — numerics change, timing structure doesn't):
                 dot + 9 shifted adds (identical math, N~288 -> ~75% util);
                 w2 as a plain dot, w1 stays an XLA conv
   nice_im2col   all-dot NICE: w1 as ONE im2col (M,9*in1)@(9*in1,hid) dot,
-                w2 as a dot, out tap-packed
-  nice_plainout the pre-round-3 NICE out conv (plain conv emitter) — the
-                baseline the shipped tap-packed _raw replaced
+                w2 as a dot, out tap-packed (w1-im2col + packed-out are now
+                the SHIPPED default — this variant additionally dots w2)
+  nice_plainout the pre-round-3 NICE (plain conv emitters for w1 and the
+                skinny out conv) — the baseline the shipped _raw replaced
 
 Each variant: K steps in ONE lax.scan window closed by jax.device_get
 (bench.py measurement design), median of R rounds.
@@ -203,9 +204,16 @@ def main():
     from ipoke_tpu.flows.primitives import wn_conv_apply
 
     def nice_raw_plainout(self, params, z, h):
-        # the pre-round-3 NICE: plain conv emitter for the skinny out conv
-        return wn_conv_apply(params["out"],
-                             self._net_hidden(params, z, h), "SAME")
+        # the pre-round-3 NICE: plain conv emitters for w1 AND the skinny
+        # out conv (the shipped _raw now uses im2col w1 + tap-packed out)
+        act_fn = M._act(self.activation)
+        c = plain_conv(params["w1"], z, "SAME")
+        c = act_fn(c)
+        c = plain_conv(params["w2"], c, "SAME")
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        return wn_conv_apply(params["out"], c, "SAME")
 
     # all stub variants force the portable (non-fused) unit path so the
     # class-level MCF/NICE monkeypatches actually take effect
