@@ -145,8 +145,16 @@ class Conv2dBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # skinny-N stride-1 SAME convs take the MXU-lane-packed emitter
-        # (identical math + identical param tree, name pinned to Conv_0)
-        if (not self.snorm and self.st == 1 and self.ks % 2 == 1
+        # (identical math + identical param tree, name pinned to Conv_0);
+        # IPOKE_SMALLN_CONV=0 restores the plain conv emitter (the packed
+        # form trades ~9x lane utilization for a 9-tap fp32 intermediate,
+        # which at large spatial maps is real HBM traffic — measured A/B
+        # on TPU decides the default)
+        import os
+
+        smalln = os.environ.get("IPOKE_SMALLN_CONV", "1") not in (
+            "0", "false", "False")
+        if (smalln and not self.snorm and self.st == 1 and self.ks % 2 == 1
                 and self.padding == self.ks // 2 and self.out_dim <= 8):
             x = _SmallNConv(self.out_dim, self.ks, use_bias=self.use_bias,
                             dtype=self.dtype, name="Conv_0")(x)
