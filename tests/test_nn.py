@@ -200,3 +200,44 @@ def test_phase_deconv_matches_flax_conv_transpose(odd, snorm):
     assert got.shape == (2, 2 * h, 2 * w, 6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_new_emitters_gradient_parity():
+    """Training runs through the packed/phase emitters: their VJPs must
+    match the stock flax emitters on shared params."""
+    import os
+
+    from ipoke_tpu.nn.blocks import Conv2dBlock, Conv2dTransposeBlock
+
+    x = jax.random.normal(K(0), (2, 8, 8, 12))
+
+    def loss_with(env_on):
+        os.environ["IPOKE_PHASE_DECONV"] = env_on
+        os.environ["IPOKE_SMALLN_CONV"] = env_on
+
+        def f(v_blk, v_tr, x):
+            blk = Conv2dBlock(out_dim=3, ks=3, st=1, padding=1,
+                              norm="none", activation="none")
+            tr = Conv2dTransposeBlock(out_dim=5, norm="none",
+                                      activation="none")
+            return jnp.sum(blk.apply(v_blk, x) ** 2) + jnp.sum(
+                tr.apply(v_tr, x) ** 2)
+
+        return f
+
+    try:
+        os.environ["IPOKE_PHASE_DECONV"] = "1"
+        os.environ["IPOKE_SMALLN_CONV"] = "1"
+        v_blk = Conv2dBlock(out_dim=3, ks=3, st=1, padding=1, norm="none",
+                            activation="none").init(K(1), x)
+        v_tr = Conv2dTransposeBlock(out_dim=5, norm="none",
+                                    activation="none").init(K(2), x)
+        g_new = jax.grad(loss_with("1"), argnums=(0, 1, 2))(v_blk, v_tr, x)
+        g_old = jax.grad(loss_with("0"), argnums=(0, 1, 2))(v_blk, v_tr, x)
+    finally:
+        os.environ.pop("IPOKE_PHASE_DECONV", None)
+        os.environ.pop("IPOKE_SMALLN_CONV", None)
+    for a, b in zip(jax.tree_util.tree_leaves(g_new),
+                    jax.tree_util.tree_leaves(g_old)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
