@@ -350,3 +350,35 @@ def test_multiscale_stack_output_shape_and_ddi():
     y2, _ = flow.forward(new, x, h)
     x_rec = flow.inverse(new, y2, h)
     assert float(jnp.max(jnp.abs(x - x_rec))) < 1e-3
+
+
+def test_flow_conv_rewrites_gradient_parity():
+    """NICE trains through conv_im2col / wn_conv_apply_packed: their VJPs
+    must match the stock conv emitters."""
+    from ipoke_tpu.flows.primitives import (
+        conv_im2col,
+        plain_conv_apply,
+        wn_conv_apply,
+        wn_conv_apply_packed,
+        wn_conv_init,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(70), (2, 8, 8, 30))
+    w1 = 0.1 * jax.random.normal(jax.random.PRNGKey(71), (3, 3, 30, 24))
+    wn = wn_conv_init(jax.random.PRNGKey(72), 3, 3, 24, 4)
+    wn["g"] = 0.5 * jax.random.normal(jax.random.PRNGKey(73), wn["g"].shape)
+
+    def loss(w1, wn, x, use_new):
+        h = (conv_im2col(w1, x) if use_new
+             else plain_conv_apply(w1, x, "SAME"))
+        h = jax.nn.elu(h)
+        out = (wn_conv_apply_packed(wn, h) if use_new
+               else wn_conv_apply(wn, h, "SAME"))
+        return jnp.sum(out ** 2)
+
+    g_new = jax.grad(loss, argnums=(0, 1, 2))(w1, wn, x, True)
+    g_old = jax.grad(loss, argnums=(0, 1, 2))(w1, wn, x, False)
+    for a, b in zip(jax.tree_util.tree_leaves(g_new),
+                    jax.tree_util.tree_leaves(g_old)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
