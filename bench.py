@@ -310,5 +310,50 @@ def main():
     print(json.dumps(result))
 
 
+def _is_unavailable(err) -> bool:
+    """True for transient backend-outage errors (the remote axon TPU claim
+    can be wedged/unreachable for minutes at a time — round-3 postmortem)."""
+    msg = f"{type(err).__name__}: {err}"
+    return any(s in msg for s in (
+        "UNAVAILABLE", "Unable to initialize backend",
+        "DEADLINE_EXCEEDED", "Socket closed", "failed to connect"))
+
+
+def _main_with_retries():
+    """Driver contract: print exactly ONE JSON line on stdout, always.
+    Transient backend outages get a bounded retry with backoff; a final
+    failure emits a machine-readable ``{"error": ...}`` line (full traceback
+    on stderr) instead of a bare traceback (round-3 judge finding)."""
+    import traceback
+
+    attempts = int(os.environ.get("IPOKE_BENCH_RETRIES", "3"))
+    last = None
+    for attempt in range(attempts):
+        try:
+            main()
+            return 0
+        except Exception as e:  # noqa: BLE001 — must never leak a traceback
+            last = e
+            traceback.print_exc(file=sys.stderr)
+            if _is_unavailable(e) and attempt < attempts - 1:
+                delay = 60.0 * (attempt + 1)
+                print(f"backend unavailable (attempt {attempt + 1}/"
+                      f"{attempts}); retrying in {delay:.0f}s",
+                      file=sys.stderr, flush=True)
+                time.sleep(delay)
+                continue
+            break
+    err_line = f"{type(last).__name__}: {last}"
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip",
+        "value": None,
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "error": err_line[:500],
+        "transient_backend_outage": _is_unavailable(last),
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(_main_with_retries())

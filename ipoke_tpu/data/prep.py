@@ -66,13 +66,17 @@ register_flow_estimator("raft", _raft)
 def extract_video(
     video_path: str, out_dir: str, flow_delta: int = 10,
     spatial_size: Optional[int] = None, estimator: str = "farneback",
-    frames_discr: int = 1,
+    frames_discr: int = 1, flow_max: Optional[int] = None,
 ):
-    """Decode frames and estimate flow between frame i and i+flow_delta
-    (reference ``process_video``, prepare_dataset.py:48-200)."""
+    """Decode frames and estimate flow between frame i and i+lag for every
+    lag in the ``flow_delta``..``flow_max`` grid (reference
+    ``process_video``, prepare_dataset.py:48-200: e.g. flow_delta=10,
+    flow_max=30 -> flows i->i+10, i->i+20, i->i+30 per frame)."""
     import cv2
 
     est = _FLOW_ESTIMATORS[estimator]
+    lags = (list(range(flow_delta, int(flow_max) + 1, flow_delta))
+            if flow_max else [flow_delta])
     os.makedirs(out_dir, exist_ok=True)
     cap = cv2.VideoCapture(video_path)
     frames = []
@@ -93,24 +97,27 @@ def extract_video(
             os.path.join(out_dir, f"frame_{i}.png"),
             cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
         )
-    for i in range(len(frames) - flow_delta):
-        flow = est(frames[i], frames[i + flow_delta])
-        np.save(
-            os.path.join(out_dir, f"prediction_{i}_{i + flow_delta}.flow.npy"),
-            flow,
-        )
+    for i in range(len(frames) - lags[-1]):
+        for lag in lags:
+            flow = est(frames[i], frames[i + lag])
+            np.save(
+                os.path.join(out_dir, f"prediction_{i}_{i + lag}.flow.npy"),
+                flow,
+            )
     return len(frames)
 
 
 def extract(config: dict):
-    videos = sorted(glob.glob(os.path.join(config["raw_dir"], "*")))
+    fmt = config.get("video_format")
+    pattern = f"*.{fmt}" if fmt else "*"
+    videos = sorted(glob.glob(os.path.join(config["raw_dir"], pattern)))
     out_root = config["processed_dir"]
     n_workers = int(config.get("num_workers", 1))
     jobs = [
         (v, os.path.join(out_root, os.path.splitext(os.path.basename(v))[0]),
          int(config.get("flow_delta", 10)), config.get("spatial_size"),
          config.get("flow_estimator", "farneback"),
-         int(config.get("frames_discr", 1)))
+         int(config.get("frames_discr", 1)), config.get("flow_max"))
         for v in videos
     ]
     if n_workers <= 1:
@@ -140,17 +147,24 @@ def prepare(processed_dir: str, meta_path: Optional[str] = None,
             glob.glob(os.path.join(d, "frame_*.png")),
             key=lambda p: int(_FRAME_RE.search(p).group(1)),
         )
-        flows = {}
+        flows: Dict[int, List[str]] = {}
         for f in glob.glob(os.path.join(d, "prediction_*.flow.npy")):
             m = _FLOW_RE.search(f)
-            flows[int(m.group(1))] = f
+            flows.setdefault(int(m.group(1)), []).append(f)
+        # rows must be rectangular: only frames carrying the full lag grid
+        # (multi-lag extraction, flow_max/flow_delta) enter the index —
+        # matches the reference, whose per-frame flow list is dense
+        n_lags = max((len(v) for v in flows.values()), default=0)
         for fid, frame in enumerate(frames):
-            if fid not in flows:
+            if len(flows.get(fid, ())) != n_lags:
                 continue
+            # ascending lag order (sort by end-frame index j of i->j)
+            row = sorted(flows[fid],
+                         key=lambda p: int(_FLOW_RE.search(p).group(2)))
             rel = (lambda p: os.path.relpath(p, processed_dir)) if rel_paths \
                 else (lambda p: p)
             meta["img_path"].append(rel(frame))
-            meta["flow_paths"].append([rel(flows[fid])])
+            meta["flow_paths"].append([rel(p) for p in row])
             meta["fid"].append(fid)
             meta["vid"].append(vid)
             meta["object_id"].append(vid)
@@ -237,27 +251,77 @@ def make_synthetic_dataset(root: str, n_videos: int = 4, n_frames: int = 16,
     return prepare(root)
 
 
+def load_prep_config(path: str) -> dict:
+    """Load a reference-schema data-preparation YAML
+    (``config/data_preparation/{plants,iper,human36m,taichi}.yaml``; ref
+    ``data/prepare_dataset.py:518-533``): prep params at the top level
+    (raw_dir/processed_dir/flow_max/flow_delta/mode/video_format/
+    spatial_size/frames_discr/num_workers/target_gpus) plus a ``data:``
+    block consumed by the dataset layer.  ``!!python/tuple`` tags in the
+    shipped reference configs load as lists here (yaml.safe_load with a
+    tuple shim)."""
+    import yaml
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_constructor(
+        "tag:yaml.org,2002:python/tuple",
+        lambda loader, node: tuple(loader.construct_sequence(node)))
+    with open(path) as f:
+        cfg = yaml.load(f, Loader=_Loader)
+    # env re-rooting like the main CLI's DATAPATH remap (ref main.py:65-75)
+    datapath = os.environ.get("DATAPATH")
+    if datapath:
+        for k in ("raw_dir", "processed_dir"):
+            if cfg.get(k):
+                cfg[k] = os.path.join(datapath, cfg[k].lstrip("/"))
+    return cfg
+
+
+def run(config: dict, mode: Optional[str] = None):
+    """Dispatch the extract -> prepare -> pose_estimation chain from a prep
+    config dict (reference mode dispatch, prepare_dataset.py:557-572)."""
+    mode = mode or config.get("mode", "all")
+    assert mode in ("extract", "prepare", "pose_estimation", "all"), mode
+    if mode in ("extract", "all"):
+        assert config.get("raw_dir"), "raw_dir required for extract"
+        extract(config)
+    if mode in ("prepare", "all"):
+        prepare(config["processed_dir"])
+    if mode in ("pose_estimation", "all") and (
+            mode == "pose_estimation"
+            or config.get("data", {}).get("dataset") == "IperDataset"):
+        # the reference runs pose inference for iPER only (:461-466)
+        pose_estimation(config["processed_dir"],
+                        input_size=int(config.get("pose_input_size", 64)))
+
+
 def main():
     p = argparse.ArgumentParser(description="offline dataset preparation")
+    p.add_argument("--config", help="reference-schema data_preparation YAML")
     p.add_argument("--mode",
                    choices=["extract", "prepare", "pose_estimation", "all"],
-                   default="all")
+                   default=None)
     p.add_argument("--raw_dir")
-    p.add_argument("--processed_dir", required=True)
-    p.add_argument("--flow_delta", type=int, default=10)
+    p.add_argument("--processed_dir")
+    p.add_argument("--flow_delta", type=int, default=None)
+    p.add_argument("--flow_max", type=int, default=None)
     p.add_argument("--spatial_size", type=int, default=None)
-    p.add_argument("--flow_estimator", default="farneback")
-    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--flow_estimator", default=None)
+    p.add_argument("--num_workers", type=int, default=None)
     args = p.parse_args()
-    cfg = vars(args)
-    cfg["raw_dir"] = args.raw_dir
-    if args.mode in ("extract", "all"):
-        assert args.raw_dir, "--raw_dir required for extract"
-        extract(cfg)
-    if args.mode in ("prepare", "all"):
-        prepare(args.processed_dir)
-    if args.mode == "pose_estimation":
-        pose_estimation(args.processed_dir)
+    cfg = load_prep_config(args.config) if args.config else {}
+    for k in ("raw_dir", "processed_dir", "flow_delta", "flow_max",
+              "spatial_size", "flow_estimator", "num_workers"):
+        v = getattr(args, k)
+        if v is not None:
+            cfg[k] = v
+    cfg.setdefault("flow_delta", 10)
+    cfg.setdefault("flow_estimator", "farneback")
+    assert cfg.get("processed_dir"), \
+        "--processed_dir (or processed_dir in --config) required"
+    run(cfg, args.mode)
 
 
 if __name__ == "__main__":

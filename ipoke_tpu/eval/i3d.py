@@ -129,7 +129,9 @@ def i3d_activations(params, videos, batch_size: int = 8,
     n = videos.shape[0]
     fn = jax.jit(lambda v: model.apply(params, v, return_features=True))
     outs = []
-    for i in range(0, n - n % batch_size if n >= batch_size else n, batch_size):
+    # every clip contributes: the final short slice goes through too (jit
+    # compiles one extra shape), so Frechet stats cover all n samples
+    for i in range(0, n, batch_size):
         chunk = jnp.asarray(videos[i : i + batch_size])
         logits, feats = fn(chunk)
         outs.append(np.asarray(logits if use_logits else feats))

@@ -352,7 +352,11 @@ class MaCowUnitChain(Chain):
         mcf = self.flows[0]
         if (fused_unit_enabled() and isinstance(mcf, MaskedConvFlow)
                 and mcf.transform == "affine" and mcf.activation == "elu"
-                and y.shape[1] == y.shape[2]):
+                and y.shape[1] == y.shape[2]
+                # a unit built with h-conditioning rows MUST receive h: the
+                # fused kernel would silently drop the conditioning half of
+                # the 1x1 out conv, where the portable path fails loudly
+                and (mcf.h_channels == 0 or h is not None)):
             # lowering-time dispatch: the fused kernel is TPU-only; a program
             # lowered for CPU (e.g. jax.default_device(cpu) while the remote
             # TPU backend is registered) takes the portable chain instead

@@ -94,7 +94,9 @@ def motion_feat_activations(params, videos, batch_size: int = 16
     n = videos.shape[0]
     outs = []
     step = batch_size
-    for i in range(0, n - n % step if n >= step else n, step):
+    # every clip contributes: the final short slice goes through too (jit
+    # compiles one extra shape), so Frechet stats cover all n samples
+    for i in range(0, n, step):
         outs.append(np.asarray(fn(jnp.asarray(videos[i : i + step]))))
     return np.concatenate(outs, axis=0)
 

@@ -10,6 +10,7 @@ import os
 import jax
 
 _FORCE = None
+_FORCE_FUSED = None
 
 
 def set_pallas(enabled: bool):
@@ -17,14 +18,23 @@ def set_pallas(enabled: bool):
     _FORCE = bool(enabled)
 
 
+def set_fused_unit(enabled):
+    """Force the fused MaCowUnit-inverse gate independently of ``set_pallas``
+    (``None`` restores the env/backend default).  The two kernels have
+    opposite measured outcomes at shipped scale (fused unit wins, per-MCF
+    kernel loses), so disabling one must not silently disable the other."""
+    global _FORCE_FUSED
+    _FORCE_FUSED = None if enabled is None else bool(enabled)
+
+
 def fused_unit_enabled() -> bool:
     """Gate for the fused MaCowUnit inverse kernel
     (``masked_conv.macow_unit_inverse_pallas``).  Defaults to the TPU
     backend being active (the kernel targets real TPU VMEM; on CPU the
-    portable lax path is used).  Override with ``set_pallas`` or env
+    portable lax path is used).  Override with ``set_fused_unit`` or env
     ``IPOKE_TPU_FUSED_UNIT=0/1`` (falls back to ``IPOKE_TPU_PALLAS``)."""
-    if _FORCE is not None:
-        return _FORCE
+    if _FORCE_FUSED is not None:
+        return _FORCE_FUSED
     env = os.environ.get("IPOKE_TPU_FUSED_UNIT",
                          os.environ.get("IPOKE_TPU_PALLAS"))
     if env is not None:

@@ -10,7 +10,11 @@ the generated frames as base64 PNGs for client-side playback.
         --model_name <name> --data_root <dir> [--port 8000]
 
 Endpoints: GET / (page), GET /frame (new start frame), POST /poke
-({x, y, dx, dy, n_frames}) -> {frames: [b64 png, ...]}.
+({x, y, dx, dy, n_frames}) -> {frames: [b64 png, ...]}, POST /save ->
+{files: [...]}: writes the current video as mp4 + enrollment PNG under
+``<generated>/gui/id_<k>/`` and, once per start frame, the ground-truth
+clip plus ``n_gt_pokes`` dataset-simulated GT-poke comparison videos
+(reference ``testing/gui.py:217-320`` save_video / generate_gt_poke_vid).
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
@@ -33,6 +38,7 @@ button{margin:8px}
 <h3>ipoke_tpu — drag on the image to poke</h3>
 <canvas id=c width=%(disp)d height=%(disp)d></canvas><br>
 <button onclick="newFrame()">new frame</button>
+<button onclick="saveVid()">save video</button>
 <span id=status></span>
 <script>
 const S=%(disp)d, c=document.getElementById('c'), ctx=c.getContext('2d');
@@ -40,6 +46,8 @@ let frames=[], playing=null, start=null, x0=null;
 function draw(img64){const im=new Image();im.onload=()=>ctx.drawImage(im,0,0,S,S);
   im.src='data:image/png;base64,'+img64;}
 function newFrame(){fetch('/frame').then(r=>r.json()).then(d=>{x0=d.frame;draw(x0);});}
+function saveVid(){fetch('/save',{method:'POST',body:'{}'}).then(r=>r.json()).then(d=>{
+  document.getElementById('status').textContent=d.error||('saved '+d.files.length+' files');});}
 c.onmousedown=e=>{const r=c.getBoundingClientRect();start=[e.clientX-r.left,e.clientY-r.top];};
 c.onmouseup=e=>{if(!start)return;const r=c.getBoundingClientRect();
  const end=[e.clientX-r.left,e.clientY-r.top];
@@ -63,7 +71,8 @@ def _png_b64(img_u8: np.ndarray) -> str:
 class PokeSession:
     """Holds the model + a current batch; turns UI pokes into videos."""
 
-    def __init__(self, experiment, display_size: int = 256):
+    def __init__(self, experiment, display_size: int = 256,
+                 save_root: Optional[str] = None, n_gt_pokes: int = 3):
         from .. import cli  # noqa: F401  (experiment already built)
 
         self.experiment = experiment
@@ -71,8 +80,17 @@ class PokeSession:
         self.spatial = experiment.config["data"]["spatial_size"][0]
         self.T = experiment.config["data"]["max_frames"]
         self.poke_size = int(experiment.config["data"].get("poke_size", 5))
+        ui_cfg = experiment.config.get("ui", {}) if hasattr(
+            experiment.config, "get") else {}
+        self.n_gt_pokes = int(ui_cfg.get("n_gt_pokes", n_gt_pokes))
+        self.save_root = save_root or (
+            experiment.dirs["generated"] if getattr(experiment, "dirs", None)
+            else os.path.join(os.getcwd(), "generated"))
         self._loader = None
         self.batch = None
+        self.frame_id = -1
+        self.save_count = 0
+        self.current = None  # last generated {vid, poke} for /save
         self.new_frame()
 
     def new_frame(self):
@@ -87,6 +105,9 @@ class PokeSession:
             self._loader = None
             return self.new_frame()
         self.batch = {k: jnp.asarray(v[:1]) for k, v in b.items()}
+        self.frame_id += 1
+        self.save_count = 0
+        self.current = None
         return self.frame_png()
 
     def frame_png(self) -> str:
@@ -117,6 +138,7 @@ class PokeSession:
             self.experiment.state.params, self.experiment.frozen, batch,
             self.experiment.next_rng(), length=self.T)
         frames = np.asarray(vid[0])
+        self.current = {"vid": frames, "poke": poke}
         out = []
         import cv2
 
@@ -126,6 +148,82 @@ class PokeSession:
                             interpolation=cv2.INTER_NEAREST)
             out.append(_png_b64(u8))
         return out
+
+    # -- save / GT-poke parity (reference testing/gui.py:217-320) ----------
+
+    def _padded_video(self, x0, vid, poke, n_pad: int = 4):
+        """[x0+poke-arrows] x n_pad, then the clip, then the last frame x
+        n_pad (reference ``make_padded_video`` layout)."""
+        from ..utils.video import draw_poke_arrows, to_uint8
+
+        src = draw_poke_arrows(to_uint8(x0), poke)
+        return np.concatenate([
+            np.stack([src] * n_pad), to_uint8(vid),
+            np.stack([to_uint8(vid[-1])] * n_pad)])
+
+    def save_current(self):
+        """Write the last generated video as mp4 + enrollment under
+        ``<generated>/gui/id_<frame>/`` and, on the first save per start
+        frame, the ground-truth clip + GT-poke comparison videos
+        (reference save_video -> generate_gt_poke_vid chain)."""
+        from ..utils.video import save_enrollment, save_video
+
+        if self.current is None:
+            raise ValueError("no video was generated yet — poke first")
+        base = os.path.join(self.save_root, "gui", f"id_{self.frame_id}")
+        os.makedirs(base, exist_ok=True)
+        x0 = np.asarray(self.batch["images"][0, 0])
+        files = []
+        out = self._padded_video(x0, self.current["vid"],
+                                 self.current["poke"])
+        p = os.path.join(base, f"vid_{self.save_count}.mp4")
+        save_video(out, p)
+        files.append(p)
+        files.append(save_enrollment(
+            out, p[:-4] + "_enrollment.png", max_frames=len(out)))
+        if self.save_count == 0:
+            files += self._save_gt_pokes(base)
+        self.save_count += 1
+        return files
+
+    def _save_gt_pokes(self, base: str):
+        """Ground-truth clip + ``n_gt_pokes`` dataset-simulated pokes run
+        through the model for side-by-side comparison (reference
+        ``generate_gt_poke_vid``, gui.py:217-280)."""
+        import jax.numpy as jnp
+
+        from ..data.poke import simulate_poke
+        from ..utils.video import save_enrollment, save_video, to_uint8
+
+        files = []
+        imgs = np.asarray(self.batch["images"][0])  # (T+1, H, W, 3)
+        gt_pad = np.concatenate([
+            np.stack([to_uint8(imgs[0])] * 8), to_uint8(imgs),
+            np.stack([to_uint8(imgs[-1])] * 4)])
+        p = os.path.join(base, "gt_vid.mp4")
+        save_video(gt_pad, p)
+        files.append(p)
+        files.append(save_enrollment(gt_pad, p[:-4] + "_enrollment.png",
+                                     max_frames=len(gt_pad)))
+        if "flow" not in self.batch or self.n_gt_pokes <= 0:
+            return files  # no GT flow available (e.g. encoder-only runs)
+        flow = np.asarray(self.batch["flow"][0])
+        rng = np.random.default_rng(self.frame_id)
+        for i in range(self.n_gt_pokes):
+            gt_poke, _ = simulate_poke(flow, rng, n_pokes_max=1,
+                                       poke_size=self.poke_size)
+            nb = dict(self.batch)
+            nb["poke"] = jnp.asarray(gt_poke[None])
+            vid = np.asarray(self.experiment.model.forward_sample(
+                self.experiment.state.params, self.experiment.frozen, nb,
+                self.experiment.next_rng(), length=self.T)[0])
+            out = self._padded_video(imgs[0], vid, gt_poke)
+            p = os.path.join(base, f"gt_poke_vid_{i}.mp4")
+            save_video(out, p)
+            files.append(p)
+            files.append(save_enrollment(
+                out, p[:-4] + "_enrollment.png", max_frames=len(out)))
+        return files
 
 
 def make_handler(session: PokeSession):
@@ -151,19 +249,29 @@ def make_handler(session: PokeSession):
                 self.send_error(404)
 
         def do_POST(self):
-            if self.path != "/poke":
-                return self.send_error(404)
             n = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(n))
-            frames = session.poke(req["x"], req["y"], req["dx"], req["dy"])
-            self._send(json.dumps({"frames": frames}))
+            body = self.rfile.read(n)
+            if self.path == "/poke":
+                req = json.loads(body)
+                frames = session.poke(req["x"], req["y"], req["dx"],
+                                      req["dy"])
+                self._send(json.dumps({"frames": frames}))
+            elif self.path == "/save":
+                try:
+                    files = session.save_current()
+                    self._send(json.dumps({"files": files}))
+                except ValueError as e:
+                    self._send(json.dumps({"files": [], "error": str(e)}))
+            else:
+                self.send_error(404)
 
     return Handler
 
 
 def serve(experiment, port: int = 8000, display_size: int = 256,
-          background: bool = False) -> Optional[ThreadingHTTPServer]:
-    session = PokeSession(experiment, display_size)
+          background: bool = False, save_root: Optional[str] = None
+          ) -> Optional[ThreadingHTTPServer]:
+    session = PokeSession(experiment, display_size, save_root=save_root)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(session))
     if background:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()

@@ -2,6 +2,7 @@
 
 import base64
 import json
+import os
 import urllib.request
 
 import jax
@@ -50,9 +51,10 @@ class _StubExperiment:
         return k
 
 
-def test_ui_server_end_to_end():
+def test_ui_server_end_to_end(tmp_path):
     exp = _StubExperiment()
-    httpd = serve(exp, port=0, display_size=64, background=True)
+    httpd = serve(exp, port=0, display_size=64, background=True,
+                  save_root=str(tmp_path))
     port = httpd.server_address[1]
     base = f"http://127.0.0.1:{port}"
     try:
@@ -73,5 +75,43 @@ def test_ui_server_end_to_end():
         assert len(out["frames"]) == 3  # max_frames
         for f in out["frames"]:
             assert base64.b64decode(f)[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # /save: mp4 + enrollment for the poked video, plus (first save for
+        # this frame) the GT clip and GT-poke comparison videos
+        # (reference testing/gui.py:217-320 parity)
+        save_req = urllib.request.Request(base + "/save", data=b"{}",
+                                          method="POST")
+        saved = json.loads(urllib.request.urlopen(save_req,
+                                                  timeout=600).read())
+        names = {os.path.basename(f) for f in saved["files"]}
+        assert "vid_0.mp4" in names
+        assert "vid_0_enrollment.png" in names
+        assert "gt_vid.mp4" in names and "gt_vid_enrollment.png" in names
+        assert "gt_poke_vid_0.mp4" in names  # dataset-simulated GT pokes
+        assert "gt_poke_vid_2.mp4" in names
+        for f in saved["files"]:
+            assert os.path.exists(f) and os.path.getsize(f) > 0, f
+        # gui/id_<frame> layout (the /frame fetch above advanced to id 1)
+        assert os.path.dirname(saved["files"][0]).endswith("gui/id_1")
+
+        # second save of the same frame: only the new vid_1 artifacts
+        saved2 = json.loads(urllib.request.urlopen(save_req,
+                                                   timeout=600).read())
+        names2 = {os.path.basename(f) for f in saved2["files"]}
+        assert names2 == {"vid_1.mp4", "vid_1_enrollment.png"}
+    finally:
+        httpd.shutdown()
+
+
+def test_ui_save_before_poke_reports_error(tmp_path):
+    exp = _StubExperiment()
+    httpd = serve(exp, port=0, display_size=64, background=True,
+                  save_root=str(tmp_path))
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/save",
+                                     data=b"{}", method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert out["files"] == [] and "poke first" in out["error"]
     finally:
         httpd.shutdown()

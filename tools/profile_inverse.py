@@ -243,8 +243,8 @@ def main():
         saved = []
         for (cls, attr), fn in patches[name].items():
             if attr == "_FORCE_VALUE":  # ops fused-unit force flag
-                saved.append((cls, "_FORCE", cls._FORCE))
-                cls._FORCE = fn
+                saved.append((cls, "_FORCE_FUSED", cls._FORCE_FUSED))
+                cls._FORCE_FUSED = fn
                 continue
             saved.append((cls, attr, getattr(cls, attr)))
             setattr(cls, attr, fn)
