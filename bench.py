@@ -188,6 +188,8 @@ def main():
     from ipoke_tpu.core.runtime import setup_compilation_cache
 
     setup_compilation_cache()
+    if os.environ.get("IPOKE_DRIVE_CPU") == "1":  # harness sanity off-TPU
+        jax.config.update("jax_platforms", "cpu")
     _warn_if_loaded()
 
     B, T, S = 40, 10, 128

@@ -532,11 +532,21 @@ class SecondStageExperiment(Experiment):
         state = create_second_stage_state(self.next_rng(), self.model,
                                           flow_adam(sched))
         self._ddi_done = False
-        self.tx = self.accumulate(flow_adam(
+        self._mixed = bool(tcfg.get("mixed_prec_master", False))
+        tx = flow_adam(
             sched, params=state.params,
             clip_grad_norm=float(tcfg.get("clip_grad_norm", 0)),
             use_adabelief=bool(tcfg.get("use_adabelief", False)),
-            use_adafactor=bool(tcfg.get("use_adafactor", False))))
+            use_adafactor=bool(tcfg.get("use_adafactor", False)))
+        if self._mixed:
+            # bf16-resident params/frozen nets + fp32 master copies in the
+            # optimizer (core/optim.master_weights); the bf16 cast itself
+            # happens after DDI (train_step), which must run in fp32
+            from ..core.optim import cast_floats, master_weights
+
+            tx = master_weights(tx)
+            self.frozen = cast_floats(self.frozen, jnp.bfloat16)
+        self.tx = self.accumulate(tx)
         state = state.replace(opt=self.tx.init(state.params))
         self.state = state
         self._step = jax.jit(make_second_stage_train_step(self.model, self.tx))
@@ -548,8 +558,19 @@ class SecondStageExperiment(Experiment):
         # step > 0)
         if not self._ddi_done:
             if int(self.state.step) == 0:
-                self.state = self.state.replace(params=self.model.ddi(
-                    self.state.params, self.frozen, batch, self.next_rng()))
+                params = self.model.ddi(
+                    self.state.params, self.frozen, batch, self.next_rng())
+                if self._mixed:
+                    # DDI ran in fp32; go bf16-resident now and rebuild the
+                    # optimizer state so the fp32 master copies the
+                    # POST-ddi values
+                    from ..core.optim import cast_floats
+
+                    params = cast_floats(params, jnp.bfloat16)
+                    self.state = self.state.replace(
+                        params=params, opt=self.tx.init(params))
+                else:
+                    self.state = self.state.replace(params=params)
             self._ddi_done = True
         return self._step(self.state, self.frozen, batch, self.next_rng())
 

@@ -9,7 +9,7 @@ contain non-trainable ``buf_*`` leaves that must be masked out.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,56 @@ def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
         {"train": tx, "freeze": optax.set_to_zero()},
         jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask),
     )
+
+
+class MasterWeightsState(NamedTuple):
+    master: Any  # fp32 authoritative copy of every float param leaf
+    inner: Any   # inner transform state, built over the master copy
+
+
+def cast_floats(tree, dtype):
+    """Cast every float leaf to ``dtype`` (int/bool buffer leaves pass
+    through untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def master_weights(tx) -> optax.GradientTransformation:
+    """Standard TPU mixed-precision recipe (round-3 verdict task 3): params
+    stay RESIDENT in bf16 (compute reads half the HBM bytes per step — no
+    per-step full-param cast, which round 2 measured as a net loss), while
+    the inner transform (Adafactor/Adam) sees an fp32 master copy so tiny
+    updates are never rounded away by bf16's 8-bit mantissa.
+
+    ``update`` returns the delta that moves the bf16 params to the new
+    master's bf16 image: grads are upcast to fp32, the inner update is
+    applied to the master, and the emitted update is
+    ``cast(master_new) - params`` (so ``optax.apply_updates`` keeps params
+    == bf16(master) to 1 ulp; the master is authoritative, deviations do
+    not accumulate)."""
+
+    def init(params):
+        master = cast_floats(params, jnp.float32)
+        return MasterWeightsState(master=master, inner=tx.init(master))
+
+    def update(grads, state, params=None):
+        assert params is not None, "master_weights needs params"
+        g32 = cast_floats(grads, jnp.float32)
+        upd32, inner = tx.update(g32, state.inner, state.master)
+        master = optax.apply_updates(state.master, upd32)
+
+        def delta(m, p):
+            if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating):
+                return (m.astype(p.dtype).astype(jnp.float32)
+                        - p.astype(jnp.float32)).astype(p.dtype)
+            return jax.tree_util.tree_map(jnp.zeros_like, p)
+
+        return (jax.tree_util.tree_map(delta, master, params),
+                MasterWeightsState(master=master, inner=inner))
+
+    return optax.GradientTransformation(init, update)
 
 
 def gated_update(tx, gate, grads, opt_state, params):

@@ -12,6 +12,9 @@ def nll(sample, spatial_mean: bool = False, radial: bool = False):
 
     sample: (B, H, W, C) or (B, D).  Mirrors reference ``loss.py:86-97``.
     """
+    # reductions in fp32: under bf16 mixed precision a 2048-element ||z||^2
+    # sum in bf16 loses ~3 decimal digits; harmless no-op for fp32 inputs
+    sample = sample.astype(jnp.float32)
     if sample.ndim == 2:
         sample = sample[:, None, None, :]
     if radial:
@@ -42,6 +45,7 @@ def flow_loss(
     ``rng`` enables the reference-matched ``reference_nll_loss`` diagnostic
     on a fresh Gaussian sample (reference ``loss.py:28-33``).
     """
+    logdet = jnp.asarray(logdet, jnp.float32)
     nll_loss = jnp.mean(nll(sample, spatial_mean=spatial_mean, radial=radial))
     if spatial_mean and sample.ndim == 4:
         h, w = sample.shape[1], sample.shape[2]

@@ -25,7 +25,10 @@ from .base import Flow
 # ---------------------------------------------------------------------------
 
 def _sum_logdet(t):
-    return jnp.sum(t.reshape(t.shape[0], -1), axis=1)
+    # fp32 accumulation: under bf16 mixed precision the per-coupling sum over
+    # H*W*C log-scales would otherwise round away ~3 decimal digits, and the
+    # total is itself summed across ~hundreds of couplings
+    return jnp.sum(t.reshape(t.shape[0], -1).astype(jnp.float32), axis=1)
 
 
 class Additive:
@@ -123,7 +126,8 @@ class ActNorm(Flow):
     def forward(self, params, x, h=None):
         y = x * jnp.exp(params["log_scale"]) + params["bias"]
         hw = x.shape[1] * x.shape[2] if x.ndim == 4 else 1
-        ld = jnp.full((x.shape[0],), jnp.sum(params["log_scale"]) * hw)
+        ld = jnp.full((x.shape[0],),
+                      jnp.sum(params["log_scale"].astype(jnp.float32)) * hw)
         return y, ld
 
     def inverse(self, params, y, h=None):
@@ -204,7 +208,8 @@ class InvConvLU(Flow):
         w = self._weight(params)
         y = jnp.einsum("...i,oi->...o", x, w)
         hw = x.shape[1] * x.shape[2] if x.ndim == 4 else 1
-        ld = jnp.full((x.shape[0],), jnp.sum(params["log_s"]) * hw)
+        ld = jnp.full((x.shape[0],),
+                      jnp.sum(params["log_s"].astype(jnp.float32)) * hw)
         return y, ld
 
     def inverse(self, params, y, h=None):

@@ -226,8 +226,18 @@ class SecondStageModel:
 def make_second_stage_train_step(model: SecondStageModel, tx) -> Callable:
     tcfg = model.config["training"]
     spatial_mean = bool(tcfg.get("spatial_mean", False))
+    # master-weights mixed precision (training.mixed_prec_master): params and
+    # frozen nets are bf16-resident (set up by the experiment), so the batch
+    # must enter in bf16 too — a bf16 param x fp32 input matmul promotes to
+    # fp32 and defeats the halved HBM traffic.  Loss/logdet reductions are
+    # fp32 (flows/loss.py, flows/primitives._sum_logdet)
+    mixed = bool(tcfg.get("mixed_prec_master", False))
 
     def step(state: FlowTrainState, frozen, batch, rng):
+        if mixed:
+            from ..core.optim import cast_floats
+
+            batch = cast_floats(batch, jnp.bfloat16)
         r1, r2 = jax.random.split(rng)
 
         def loss_fn(params):

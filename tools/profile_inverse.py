@@ -24,6 +24,15 @@ monkeypatches — numerics change, timing structure doesn't):
   nice_plainout the pre-round-3 NICE (plain conv emitters for w1 and the
                 skinny out conv) — the baseline the shipped _raw replaced
 
+Round-4 finer NICE attribution (timing-only stubs — run these to split the
+coupling cost into per-stage shares):
+
+  nice_no_w1      skip the w1 im2col dot (rank-1 hidden fill)
+  nice_no_w2      skip the fat (M,2048)@(2048,2048) w2 dot
+  nice_out_center out conv reduced to its center tap (gather/shifted-add tax)
+  nice_noact      identity activation (elementwise ELU share)
+  nice_w2_bf16acc w2 dot without fp32 accumulation (epilogue tax)
+
 Each variant: K steps in ONE lax.scan window closed by jax.device_get
 (bench.py measurement design), median of R rounds.
 
@@ -52,6 +61,10 @@ def main():
     setup_compilation_cache()
 
     import jax
+
+    if os.environ.get("IPOKE_DRIVE_CPU") == "1":  # sanity runs off-TPU
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     if args.small:
@@ -60,6 +73,27 @@ def main():
 
     B, S = (8, 64) if args.small else (40, 128)
     model, params_f32, frozen_f32, batch_f32 = bench._build_on_cpu(B, S)
+    # the NICE out convs are zero-init and this harness never runs DDI, so at
+    # fresh init every coupling is numerically the IDENTITY — all _raw-level
+    # stub variants would produce identical outputs and the out[0]
+    # fingerprint check below could never catch a patch that silently failed
+    # to apply (round-4 finding).  Perturb the float params so every stub is
+    # numerically detectable (timing structure is unchanged).
+    import numpy as np
+
+    pr = np.random.default_rng(123)
+
+    def perturb(path, x):
+        # only the zero-init out-conv g/b leaves, with a SMALL magnitude:
+        # each coupling then applies a mild non-identity transform without
+        # compounding into overflow across the ~215-coupling inverse
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "out" in keys and keys[-1] in ("g", "b") and \
+                hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x + 0.02 * pr.standard_normal(x.shape).astype(np.float32)
+        return x
+
+    params_f32 = jax.tree_util.tree_map_with_path(perturb, params_f32)
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
@@ -215,6 +249,85 @@ def main():
         c = act_fn(c)
         return wn_conv_apply(params["out"], c, "SAME")
 
+    # ---- finer NICE attribution (timing-only stubs: values change, the
+    # remaining structure doesn't) — round-4: split the coupling cost into
+    # w1 / w2 / out / activation shares with one chip run --------------------
+
+    def _rest_after_w1(self, params, c, h, act_fn, w2_fn):
+        c = act_fn(c)
+        c = w2_fn(params["w2"], c)
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        out = params["out"]
+        w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
+        return conv_tap_packed(w_out, c) + out["b"]
+
+    def nice_raw_no_w1(self, params, z, h):
+        # skip the (M, 9*in1)@(9*in1, hid) w1 dot: rank-1 broadcast keeps a
+        # data dependency on z and the hidden shape
+        act_fn = M._act(self.activation)
+        hid = params["w2"].shape[2]
+        c = jnp.mean(z, axis=-1, keepdims=True) * jnp.ones(
+            (1, 1, 1, hid), z.dtype)
+        return _rest_after_w1(self, params, c, h, act_fn, conv_as_dots)
+
+    def nice_raw_no_w2(self, params, z, h):
+        # skip the fat (M,2048)@(2048,2048) w2 dot — the FLOP-dominant stage
+        act_fn = M._act(self.activation)
+        c = conv_im2col(params["w1"], z)
+        c = act_fn(c)
+        # keep ONE cheap data dependency on w2 so its weights aren't DCE'd
+        c = c + jnp.mean(params["w2"]).astype(c.dtype)
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        out = params["out"]
+        w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
+        return conv_tap_packed(w_out, c) + out["b"]
+
+    def nice_raw_out_center(self, params, z, h):
+        # out conv reduced to its CENTER tap (1x1 dot): measures the cost of
+        # the 3x3 gather + shifted adds in the tap-packed out stage
+        act_fn = M._act(self.activation)
+        c = conv_im2col(params["w1"], z)
+        c = act_fn(c)
+        c = conv_as_dots(params["w2"], c)
+        if self.h_channels:
+            c = jnp.concatenate([c, h], axis=-1)
+        c = act_fn(c)
+        out = params["out"]
+        w_out = out["v"] * (out["g"] / _v_norm(out["v"]))
+        kh, kw = w_out.shape[0], w_out.shape[1]
+        wc = w_out[kh // 2, kw // 2]  # (Cin, N)
+        b, hh, ww, cc = c.shape
+        o = jax.lax.dot_general(
+            c.reshape(b * hh * ww, cc), wc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return o.reshape(b, hh, ww, -1).astype(c.dtype) + out["b"]
+
+    def nice_raw_noact(self, params, z, h):
+        # identity activation: elementwise ELU share on the (M, 2048) hidden
+        act_fn = lambda t: t
+        c = conv_im2col(params["w1"], z)
+        return _rest_after_w1(self, params, c, h, act_fn, conv_as_dots)
+
+    def conv_as_dots_bf16acc(w, x):
+        """w2 dot with bf16 accumulation (no preferred_element_type=f32):
+        times the fp32-accumulate tax on the MXU epilogue."""
+        kh, kw = w.shape[0], w.shape[1]
+        b, hh, ww, c = x.shape
+        assert kh == kw == 1
+        return jax.lax.dot_general(
+            x.reshape(b * hh * ww, c), w[0, 0],
+            (((1,), (0,)), ((), ()))).reshape(b, hh, ww, -1).astype(x.dtype)
+
+    def nice_raw_w2_bf16acc(self, params, z, h):
+        act_fn = M._act(self.activation)
+        c = conv_im2col(params["w1"], z)
+        return _rest_after_w1(self, params, c, h, act_fn,
+                              conv_as_dots_bf16acc)
+
     # all stub variants force the portable (non-fused) unit path so the
     # class-level MCF/NICE monkeypatches actually take effect
     patches = {
@@ -236,6 +349,16 @@ def main():
                         (ops, "_FORCE_VALUE"): False},
         "nice_plainout": {(M.NICE2d, "_raw"): nice_raw_plainout,
                           (ops, "_FORCE_VALUE"): False},
+        "nice_no_w1": {(M.NICE2d, "_raw"): nice_raw_no_w1,
+                       (ops, "_FORCE_VALUE"): False},
+        "nice_no_w2": {(M.NICE2d, "_raw"): nice_raw_no_w2,
+                       (ops, "_FORCE_VALUE"): False},
+        "nice_out_center": {(M.NICE2d, "_raw"): nice_raw_out_center,
+                            (ops, "_FORCE_VALUE"): False},
+        "nice_noact": {(M.NICE2d, "_raw"): nice_raw_noact,
+                       (ops, "_FORCE_VALUE"): False},
+        "nice_w2_bf16acc": {(M.NICE2d, "_raw"): nice_raw_w2_bf16acc,
+                            (ops, "_FORCE_VALUE"): False},
     }
 
     results = {}
