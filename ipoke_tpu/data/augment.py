@@ -19,23 +19,58 @@ class _ColorTransform:
     def __init__(self, brightness, contrast, hue, saturation):
         self.b, self.c, self.h, self.s = brightness, contrast, hue, saturation
 
+    @property
+    def is_identity(self) -> bool:
+        """True when the probability gate failed and no jitter was sampled —
+        the reference applies NO transform in that case
+        (base_dataset.py:694-721), so callers skip the work entirely."""
+        return (self.b == 1.0 and self.c == 1.0 and self.h == 0.0
+                and self.s == 1.0)
+
     def __call__(self, img_u8: np.ndarray) -> np.ndarray:
+        return self.apply_clip(img_u8[None])[0]
+
+    def apply_clip(self, clip_u8: np.ndarray) -> np.ndarray:
+        """Vectorized over a (T, H, W, C) uint8 clip — the loader's hottest
+        python path after PNG decode.
+
+        Brightness+contrast are a per-frame 256-entry LUT instead of two
+        full-image float round-trips: since the per-pixel map depends only on
+        the input value and the frame's post-brightness mean, the mean is
+        taken from the frame HISTOGRAM weighted by the float brightness
+        values (identical to the float path's mean up to summation order),
+        and the fused map ``clip((clip(x*b) - mean)*c + mean)`` is tabulated
+        once per frame.  Hue/saturation then use ONE HSV conversion for the
+        whole clip (cvtColor is per-pixel, so the (T*H, W, C) reshape is
+        exact)."""
         import cv2
 
-        img = img_u8.astype(np.float32)
-        img = np.clip(img * self.b, 0, 255)                      # brightness
-        mean = img.mean()
-        img = np.clip((img - mean) * self.c + mean, 0, 255)      # contrast
+        if self.is_identity:
+            return clip_u8
+        t, hh, ww, cc = clip_u8.shape
+        img = clip_u8
+        if self.b != 1.0 or self.c != 1.0:
+            x = np.arange(256, dtype=np.float32)
+            lut_b = np.clip(x * self.b, 0.0, 255.0)          # float brightness
+            flat = clip_u8.reshape(t, -1)
+            out = np.empty_like(flat)
+            for i in range(t):
+                hist = np.bincount(flat[i], minlength=256)
+                mean = np.float32(
+                    float(hist.astype(np.float64) @ lut_b.astype(np.float64))
+                    / flat[i].size)
+                lut = np.clip((lut_b - mean) * self.c + mean,
+                              0.0, 255.0).astype(np.uint8)
+                out[i] = lut[flat[i]]
+            img = out.reshape(t, hh, ww, cc)
         if self.h != 0.0 or self.s != 1.0:
-            hsv = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2HSV).astype(
-                np.float32
-            )
+            hsv = cv2.cvtColor(img.reshape(t * hh, ww, cc),
+                               cv2.COLOR_RGB2HSV).astype(np.float32)
             hsv[..., 0] = (hsv[..., 0] + self.h * 180.0) % 180.0
             hsv[..., 1] = np.clip(hsv[..., 1] * self.s, 0, 255)
-            img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(
-                np.float32
-            )
-        return img.astype(np.uint8)
+            img = cv2.cvtColor(hsv.astype(np.uint8),
+                               cv2.COLOR_HSV2RGB).reshape(t, hh, ww, cc)
+        return img
 
 
 class ColorAugment:
@@ -61,9 +96,17 @@ class _GeomTransform:
         self.angle = angle_deg
         self.tx, self.ty = tx, ty
 
+    @property
+    def is_identity(self) -> bool:
+        """True when the probability gate failed — skip warpAffine entirely
+        (the reference applies no transform in that case)."""
+        return self.angle == 0.0 and self.tx == 0 and self.ty == 0
+
     def _warp(self, img: np.ndarray, is_flow: bool) -> np.ndarray:
         import cv2
 
+        if self.is_identity:
+            return img
         h, w = img.shape[:2]
         m = cv2.getRotationMatrix2D((w / 2, h / 2), self.angle, 1.0)
         m[0, 2] += self.tx

@@ -273,23 +273,26 @@ class VideoDataset:
         fg_mask = None
         if fb_aug:
             fg_mask = self._grabcut_cached(int(frame_ids[0]))
-        frames = []
-        for i, f in enumerate(frame_ids):
-            img = self._load_img(self.datadict["img_path"][f])
-            if color_t is not None:
-                img = color_t(img)
-            if fb_aug and (i == 0 or i == len(frame_ids) - 1):
+        # decode per frame (cv2 releases the GIL), then augment/normalize the
+        # whole (T, H, W, C) stack at once — clip-level color jitter + ONE
+        # float conversion, the loader's hottest python path after PNG decode
+        clip = np.stack(
+            [self._load_img(self.datadict["img_path"][f]) for f in frame_ids],
+            axis=0)
+        if color_t is not None and not color_t.is_identity:
+            clip = color_t.apply_clip(clip)
+        if fb_aug:
+            for i in (0, len(frame_ids) - 1):
                 bt = self.color_aug.sample(rng) if self.color_aug else None
                 if bt is not None:
-                    img_back = bt(img)
-                    img = np.where(fg_mask[..., None], img, img_back)
-            if geom_t is not None:
-                img = geom_t(img)
-            img = img.astype(np.float32) / 255.0
-            if not self.normalize_01:
-                img = img * 2.0 - 1.0
-            frames.append(img)
-        return np.stack(frames, axis=0)
+                    img_back = bt(clip[i])
+                    clip[i] = np.where(fg_mask[..., None], clip[i], img_back)
+        if geom_t is not None and not geom_t.is_identity:
+            clip = np.stack([geom_t(img) for img in clip], axis=0)
+        out = clip.astype(np.float32) / 255.0
+        if not self.normalize_01:
+            out = out * 2.0 - 1.0
+        return out
 
     def _load_flow(self, ids) -> np.ndarray:
         start, length = ids

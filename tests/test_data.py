@@ -156,3 +156,48 @@ def test_fancy_aug_recolors_background_only(tmp_path, monkeypatch):
     assert fg0 < 1e-6, "foreground must be untouched"
     # middle frames identical in both runs
     assert np.allclose(imgs_at[1], at_plain[1])
+
+
+def test_color_apply_clip_matches_per_frame():
+    """The vectorized clip-level color jitter (augment.apply_clip) is
+    numerically identical to the per-frame path (per-image contrast mean,
+    one exact (T*H, W, C) HSV reshape)."""
+    from ipoke_tpu.data.augment import _ColorTransform
+
+    rng = np.random.default_rng(3)
+    clip = rng.integers(0, 256, (5, 24, 20, 3), dtype=np.uint8)
+    for b, c, h, s in [(1.2, 0.8, 0.05, 1.3), (0.7, 1.4, 0.0, 1.0),
+                       (1.0, 1.0, 0.1, 0.6)]:
+        t = _ColorTransform(b, c, h, s)
+        batched = t.apply_clip(clip)
+        per_frame = np.stack([t.apply_clip(f[None])[0] for f in clip])
+        np.testing.assert_array_equal(batched, per_frame)
+        assert batched.dtype == np.uint8
+        # LUT brightness/contrast matches the straight float pipeline to
+        # <= 1 gray level (mean summation order is the only difference)
+        if h == 0.0 and s == 1.0:
+            ref = clip.astype(np.float32)
+            ref = np.clip(ref * b, 0, 255)
+            m = ref.mean(axis=(1, 2, 3), keepdims=True)
+            ref = np.clip((ref - m) * c + m, 0, 255).astype(np.uint8)
+            diff = np.abs(batched.astype(np.int16) - ref.astype(np.int16))
+            assert diff.max() <= 1, diff.max()
+
+
+def test_identity_augment_is_skipped_exactly():
+    """A probability-gated identity transform must return the input
+    bit-exactly (the reference applies NO transform when the gate fails;
+    the old float round-trip could shift pixels by one via truncation)."""
+    from ipoke_tpu.data.augment import _ColorTransform, _GeomTransform
+
+    rng = np.random.default_rng(4)
+    clip = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    ct = _ColorTransform(1.0, 1.0, 0.0, 1.0)
+    assert ct.is_identity
+    assert ct.apply_clip(clip) is clip
+    gt = _GeomTransform(0.0, 0, 0)
+    assert gt.is_identity
+    img = clip[0].astype(np.float32)
+    np.testing.assert_array_equal(gt(img), img)
+    flow = rng.standard_normal((16, 16, 2)).astype(np.float32)
+    np.testing.assert_array_equal(gt.apply_flow(flow), flow)

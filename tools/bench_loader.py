@@ -26,6 +26,10 @@ import os
 import sys
 import time
 
+# `python tools/x.py` puts tools/ (not the repo root) on sys.path, and
+# PYTHONPATH breaks the axon backend registration (CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _build_tree(root: str, n_videos: int, n_frames: int, stored: int):
     from ipoke_tpu.data.prep import make_synthetic_dataset
