@@ -43,10 +43,11 @@ run inverse_emitters 3000 python tools/profile_inverse.py --rounds 3 \
 run inverse_stages 3600 python tools/profile_inverse.py --rounds 3 \
   --variants portable,nice_no_w1,nice_no_w2,nice_out_center,nice_noact,nice_w2_bf16acc
 
-# 3. decode emitter A/Bs (kill switches restore the flax emitters)
+# 3. decode emitter A/Bs (kill switches restore the flax emitters; `env`
+# form so the switches cannot outlive this stage)
 run decode_on 1800 python tools/profile_decode.py --rounds 3
-IPOKE_SMALLN_CONV=0 IPOKE_PHASE_DECONV=0 \
-  run decode_off 1800 python tools/profile_decode.py --rounds 3
+run decode_off 1800 env IPOKE_SMALLN_CONV=0 IPOKE_PHASE_DECONV=0 \
+  python tools/profile_decode.py --rounds 3
 
 # 4. train step: fp32 baseline vs master-weights mixed precision
 run train_fp32 3600 python tools/measure_train_step.py --steps 5 --rounds 2
@@ -54,6 +55,6 @@ run train_mixed 3600 python tools/measure_train_step.py --steps 5 --rounds 2 \
   --mixed-master
 
 # 5. headline bench (shipped scale, with phase split)
-IPOKE_BENCH_PHASES=1 run bench 3600 python bench.py
+run bench 3600 env IPOKE_BENCH_PHASES=1 python bench.py
 
 echo "playbook complete — results in $LOG"
