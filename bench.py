@@ -184,6 +184,44 @@ def _phase_breakdown(model, args, T, iters, rounds, B):
     return out
 
 
+class ChipUnavailableError(RuntimeError):
+    """The device never answered the bounded contact probe (wedged claim)."""
+
+
+def _require_chip_contact(timeout_s: float):
+    """Prove the device answers a tiny roundtrip within ``timeout_s``.
+
+    The round-3/4 outage mode is NOT an exception — ``device_put`` on a
+    wedged axon claim blocks forever, so an exception-based retry never
+    fires and the driver sees a timeout with no JSON line.  Run the probe
+    in a daemon thread and bound the join; on expiry raise
+    ChipUnavailableError from the MAIN thread (the stuck probe thread is
+    daemonized and cannot hold exit open)."""
+    import threading
+
+    import numpy as np
+
+    result = {}
+
+    def probe():
+        try:
+            dev = jax.devices()[0]
+            x = jax.device_put(np.ones((8, 8), np.float32), dev)
+            result["ok"] = float(jax.device_get(x).sum())
+        except Exception as e:  # noqa: BLE001 — reported via the main thread
+            result["err"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise ChipUnavailableError(
+            f"UNAVAILABLE: device contact probe hung > {timeout_s:.0f}s "
+            f"(wedged TPU claim)")
+    if "err" in result:
+        raise result["err"]
+
+
 def main():
     from ipoke_tpu.core.runtime import setup_compilation_cache
 
@@ -191,6 +229,9 @@ def main():
     if os.environ.get("IPOKE_DRIVE_CPU") == "1":  # harness sanity off-TPU
         jax.config.update("jax_platforms", "cpu")
     _warn_if_loaded()
+    # fail fast (and retryably) BEFORE the expensive CPU-side model build
+    _require_chip_contact(
+        float(os.environ.get("IPOKE_BENCH_CONTACT_TIMEOUT", "300")))
 
     B, T, S = 40, 10, 128
     if os.environ.get("IPOKE_BENCH_SMALL") == "1":
@@ -326,13 +367,35 @@ def _main_with_retries():
     Transient backend outages get a bounded retry with backoff; a final
     failure emits a machine-readable ``{"error": ...}`` line (full traceback
     on stderr) instead of a bare traceback (round-3 judge finding)."""
+    import threading
     import traceback
+
+    # Global watchdog: if the whole bench (all retries included) exceeds the
+    # deadline — e.g. the claim wedges mid-compile, where no exception ever
+    # surfaces — print the contract line and hard-exit.  Generous default:
+    # shipped-scale remote compiles take minutes.
+    deadline = float(os.environ.get("IPOKE_BENCH_WATCHDOG", "3300"))
+
+    def _expire():
+        print(json.dumps({
+            "metric": "clips_per_sec_per_chip", "value": None,
+            "unit": "clips/s", "vs_baseline": None,
+            "error": f"UNAVAILABLE: bench exceeded {deadline:.0f}s watchdog "
+                     f"(wedged TPU claim mid-run)",
+            "transient_backend_outage": True,
+        }), flush=True)
+        os._exit(1)
+
+    wd = threading.Timer(deadline, _expire)
+    wd.daemon = True
+    wd.start()
 
     attempts = int(os.environ.get("IPOKE_BENCH_RETRIES", "3"))
     last = None
     for attempt in range(attempts):
         try:
             main()
+            wd.cancel()
             return 0
         except Exception as e:  # noqa: BLE001 — must never leak a traceback
             last = e
