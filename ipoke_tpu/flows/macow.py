@@ -310,10 +310,29 @@ class NICE2d(Flow):
     def inverse(self, params, y, h=None):
         z1, z2 = self._split(y)
         z, zp = self._zp_z(z1, z2)
-        p = self._tr.calc(self._raw(params, z, h))
+        p = self._tr.calc(self._raw_inference(params, z, h))
         zp = self._tr.bwd(zp, p)
         z1, z2 = (z, zp) if self.order == "up" else (zp, z)
         return self._unsplit(z1, z2)
+
+    def _raw_inference(self, params, z, h):
+        """``_raw`` with the inference-only fused Pallas path: the 3-dot NICE
+        net runs in one kernel so the (M, hidden) activations stay in VMEM
+        (``ops/nice_net.py``).  Sampling only — Pallas has no autodiff;
+        training's ``forward`` keeps the portable emitters."""
+        from ..ops import fused_nice_enabled
+
+        hh = h if self.h_channels else None
+        if (fused_nice_enabled() and self.activation == "elu"
+                and z.dtype == jnp.bfloat16
+                and (self.h_channels == 0 or h is not None)):
+            from ..ops.nice_net import nice_net_fits, nice_net_raw_pallas
+
+            if nice_net_fits(params, z, hh):  # static shape-family gate
+                return jax.lax.platform_dependent(
+                    tpu=lambda: nice_net_raw_pallas(params, z, hh),
+                    default=lambda: self._raw(params, z, h))
+        return self._raw(params, z, h)
 
     def ddi(self, params, x, h=None):
         z1, z2 = self._split(x)

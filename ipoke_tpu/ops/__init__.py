@@ -45,6 +45,32 @@ def fused_unit_enabled() -> bool:
         return False
 
 
+_FORCE_NICE = None
+
+
+def set_fused_nice(enabled):
+    """Force the fused NICE-net kernel gate (``None`` restores the env
+    default).  Default OFF until the TPU A/B lands (round-3 verdict: no
+    default-on rewrites without a measurement)."""
+    global _FORCE_NICE
+    _FORCE_NICE = None if enabled is None else bool(enabled)
+
+
+def fused_nice_enabled() -> bool:
+    """Gate for the fused NICE coupling-net kernel
+    (``nice_net.nice_net_raw_pallas``): the 3-dot chain of every NICE
+    coupling runs in one pallas_call so the (M, 2048) hidden activations
+    never round-trip HBM.  Default OFF pending the TPU A/B
+    (``tools/profile_inverse.py --variants portable,nice_fused``); enable
+    with ``set_fused_nice(True)`` or env ``IPOKE_TPU_FUSED_NICE=1``."""
+    if _FORCE_NICE is not None:
+        return _FORCE_NICE
+    env = os.environ.get("IPOKE_TPU_FUSED_NICE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def pallas_enabled() -> bool:
     """Default OFF: measured on TPU v5e at the shipped 8x8 latent shapes, the
     portable lax row-scan inverse (0.52 ms for a 5-step cINN, B=8) beats the

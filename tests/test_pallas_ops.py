@@ -79,3 +79,99 @@ def test_fused_unit_inverse(h_channels):
     )
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_lax), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fused NICE coupling-net kernel (ops/nice_net.py)
+# ---------------------------------------------------------------------------
+
+
+def _nice_and_params(in_channels=8, hidden=256, h_channels=0, factor=2,
+                     split="continuous", key=40):
+    from ipoke_tpu.flows.macow import NICE2d
+
+    nice = NICE2d(in_channels, hidden_channels=hidden, h_channels=h_channels,
+                  split_type=split, order="up", factor=factor)
+    x = jax.random.normal(K(key), (B, H, W, in_channels))
+    h = jax.random.normal(K(key + 1), (B, H, W, h_channels)) \
+        if h_channels else None
+    params = nice.init(K(key + 2), x.shape)
+    # non-trivial out conv (zero-initialized by default)
+    params["out"]["g"] = 0.3 * jax.random.normal(K(key + 3),
+                                                 params["out"]["g"].shape)
+    params["out"]["b"] = 0.1 * jax.random.normal(K(key + 4),
+                                                 params["out"]["b"].shape)
+    return nice, params, x, h
+
+
+@pytest.mark.parametrize("h_channels,factor,split", [
+    (0, 2, "continuous"), (6, 2, "continuous"), (0, 4, "continuous"),
+    (0, 2, "skip"),
+])
+def test_fused_nice_net_matches_raw(h_channels, factor, split):
+    """The fused 3-dot kernel (interpret mode) reproduces NICE2d._raw."""
+    from ipoke_tpu.ops.nice_net import nice_net_fits, nice_net_raw_pallas
+
+    nice, params, x, h = _nice_and_params(
+        h_channels=h_channels, factor=factor, split=split,
+        key=50 + h_channels + factor)
+    z = nice._split(x)[0]
+    assert nice_net_fits(params, z, h)
+    want = nice._raw(params, z, h)
+    got = nice_net_raw_pallas(params, z, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_nice_net_bf16():
+    from ipoke_tpu.ops.nice_net import nice_net_raw_pallas
+
+    nice, params, x, h = _nice_and_params(key=70)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), t)
+    z = nice._split(cast(x))[0]
+    want = nice._raw(cast(params), z, None)
+    got = nice_net_raw_pallas(cast(params), z, None, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_fused_nice_net_gates():
+    """The static fit check refuses shape families the kernel can't take."""
+    from ipoke_tpu.ops.nice_net import nice_net_fits
+
+    nice, params, x, h = _nice_and_params(h_channels=6, key=80)
+    z = nice._split(x)[0]
+    assert nice_net_fits(params, z, h)
+    assert not nice_net_fits(params, z, None)  # conditioning rows need h
+    bad_hid = dict(params, w1=jnp.zeros((3, 3, z.shape[-1], 200)))
+    assert not nice_net_fits(bad_hid, z, h)    # hidden not 128-aligned
+    z_big = jnp.zeros((B, 32, 32, z.shape[-1]))
+    assert not nice_net_fits(params, z_big, h)  # spatial too large
+
+
+def test_fused_nice_inverse_roundtrip(monkeypatch):
+    """NICE2d.inverse with the fused gate enabled still inverts forward
+    exactly on CPU (platform_dependent takes the portable branch), and the
+    kernel-path inverse (called directly, interpret mode) matches too."""
+    from ipoke_tpu import ops
+    from ipoke_tpu.ops.nice_net import nice_net_raw_pallas
+
+    nice, params, x, h = _nice_and_params(h_channels=6, key=90)
+    y, _ = nice.forward(params, x, h)
+    ops.set_fused_nice(True)
+    try:
+        x_back = nice.inverse(params, y, h)
+    finally:
+        ops.set_fused_nice(None)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-4)
+
+    # the kernel raw drives the same transform inversion
+    z1, z2 = nice._split(y)
+    raw = nice_net_raw_pallas(params, z1, h, interpret=True)
+    p = nice._tr.calc(raw)
+    zp = nice._tr.bwd(z2, p)
+    np.testing.assert_allclose(
+        np.asarray(nice._unsplit(z1, zp)), np.asarray(x), atol=1e-4)

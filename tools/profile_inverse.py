@@ -359,6 +359,13 @@ def main():
                        (ops, "_FORCE_VALUE"): False},
         "nice_w2_bf16acc": {(M.NICE2d, "_raw"): nice_raw_w2_bf16acc,
                             (ops, "_FORCE_VALUE"): False},
+        # fused 3-dot NICE-net Pallas kernel (ops/nice_net.py): hidden
+        # activations stay in VMEM.  Identical math — out[0] must MATCH
+        # full/portable up to bf16 noise, unlike the timing stubs above.
+        "nice_fused": {(ops, "_NICE_FORCE_VALUE"): True},
+        # kernel + portable (non-fused) MCF units, isolating the NICE win
+        "nice_fused_portable_units": {(ops, "_NICE_FORCE_VALUE"): True,
+                                      (ops, "_FORCE_VALUE"): False},
     }
 
     results = {}
@@ -368,6 +375,10 @@ def main():
             if attr == "_FORCE_VALUE":  # ops fused-unit force flag
                 saved.append((cls, "_FORCE_FUSED", cls._FORCE_FUSED))
                 cls._FORCE_FUSED = fn
+                continue
+            if attr == "_NICE_FORCE_VALUE":  # ops fused-NICE force flag
+                saved.append((cls, "_FORCE_NICE", cls._FORCE_NICE))
+                cls._FORCE_NICE = fn
                 continue
             saved.append((cls, attr, getattr(cls, attr)))
             setattr(cls, attr, fn)

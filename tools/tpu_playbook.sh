@@ -42,6 +42,10 @@ run inverse_emitters 3000 python tools/profile_inverse.py --rounds 3 \
   --variants portable,nice_plainout,nice_im2col,nice_packed
 run inverse_stages 3600 python tools/profile_inverse.py --rounds 3 \
   --variants portable,nice_no_w1,nice_no_w2,nice_out_center,nice_noact,nice_w2_bf16acc
+# fused 3-dot NICE-net Pallas kernel (identical math; first real Mosaic
+# lowering happens here, so it gets its own stage)
+run inverse_fused_nice 3000 python tools/profile_inverse.py --rounds 3 \
+  --variants full,nice_fused,nice_fused_portable_units
 
 # 3. decode emitter A/Bs (kill switches restore the flax emitters; `env`
 # form so the switches cannot outlive this stage)
