@@ -459,6 +459,9 @@ class SecondStageExperiment(Experiment):
 
     monitor = "FVD-val"
     datakeys = ["images", "poke", "flow"]
+    # class-level default so partially-constructed shells (tests) and
+    # subclasses that override build() keep fp32 semantics
+    _mixed = False
 
     def _load_frozen(self, data_root=None, meta=None):
         """Build + restore the three frozen submodels from their run dirs
