@@ -20,6 +20,7 @@ Re-designs the reference cINN core (``models/modules/INN/macow2.py``:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -31,6 +32,7 @@ from .primitives import (
     InvConvLU,
     Shuffle,
     SpaceToDepth,
+    conv1x1_dot,
     conv_im2col,
     get_transform,
     plain_conv_apply,
@@ -278,13 +280,22 @@ class NICE2d(Flow):
 
     def _net_hidden(self, params, z, h):
         act = _act(self.activation)
-        # w1 contracts only in1 ~ (1-1/factor)*in_channels channels (e.g. 30
-        # at the shipped scale) — as a conv the MXU pads that to 128 lanes
-        # per tap (~4x wasted K); the im2col form pads once over 9*in1
-        # (identical math, see conv_im2col)
-        c = conv_im2col(params["w1"], z)
+        # Emitter choices settled by the r4 TPU A/B at shipped scale
+        # (tools/profile_inverse.py, inverse_emitters stage): w1 as a plain
+        # conv BEATS the im2col dot by ~6.5 ms/step (XLA's conv emitter
+        # handles the skinny-K 30->2048 contraction better than the padded
+        # gather), while the 1x1 w2 as an explicit dot beats the conv
+        # emitter by ~4 ms/step.  Identical math either way; env switches
+        # restore the losers for re-measurement on other hardware.
+        if os.environ.get("IPOKE_NICE_W1") == "im2col":
+            c = conv_im2col(params["w1"], z)
+        else:
+            c = plain_conv_apply(params["w1"], z, padding="SAME")
         c = act(c)
-        c = plain_conv_apply(params["w2"], c, padding="SAME")
+        if os.environ.get("IPOKE_NICE_W2") == "conv":
+            c = plain_conv_apply(params["w2"], c, padding="SAME")
+        else:
+            c = conv1x1_dot(params["w2"], c)
         if self.h_channels:
             c = jnp.concatenate([c, h], axis=-1)
         return act(c)

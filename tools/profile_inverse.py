@@ -17,10 +17,15 @@ monkeypatches — numerics change, timing structure doesn't):
   nice_packed   the skinny NICE out conv (K=9*2048 -> N~32, ~25% MXU lane
                 utilization) tap-packed into ONE (M,2048)@(2048,9*out_c)
                 dot + 9 shifted adds (identical math, N~288 -> ~75% util);
-                w2 as a plain dot, w1 stays an XLA conv
+                w2 as a plain dot, w1 stays an XLA conv.  This mix WON the
+                r4 shipped-scale A/B (59.9 vs plainout 64.6 / im2col-default
+                70.3 ms) and is the SHIPPED default since r4
+                (macow.NICE2d._net_hidden; IPOKE_NICE_W1/W2 restore losers)
   nice_im2col   all-dot NICE: w1 as ONE im2col (M,9*in1)@(9*in1,hid) dot,
-                w2 as a dot, out tap-packed (w1-im2col + packed-out are now
-                the SHIPPED default — this variant additionally dots w2)
+                w2 as a dot, out tap-packed (the r3->r4 shipped default had
+                im2col w1 + conv w2; the r4 A/B showed im2col w1 LOSES
+                ~6.5 ms to the XLA conv emitter at the shipped 30->2048
+                shape, so the default reverted to plain-conv w1)
   nice_plainout the pre-round-3 NICE (plain conv emitters for w1 and the
                 skinny out conv) — the baseline the shipped _raw replaced
 
