@@ -38,9 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
 
 
-def _elu(a):
-    # expm1 has no Pallas TPU lowering
-    return jnp.where(a > 0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
+def _elu_f32(a):
+    # ``a`` is the fp32 dot accumulator.  Mosaic on v5e rejects bf16 vector
+    # compares ("Target does not support this comparison") and has no expm1
+    # lowering, so BOTH the sign test and the value path run in fp32; the
+    # caller casts the result to the compute dtype once afterwards (sub-ulp
+    # difference vs the portable emitters' ELU-on-bf16).
+    return jnp.where(a > 0.0, a, jnp.exp(jnp.minimum(a, 0.0)) - 1.0)
 
 
 def _nice_net_kernel(zcol_ref, w1_ref, w2_ref, wp_ref, u_ref):
@@ -52,12 +56,12 @@ def _nice_net_kernel(zcol_ref, w1_ref, w2_ref, wp_ref, u_ref):
         zcol_ref[...], w1_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    a = _elu(a.astype(dt))
+    a = _elu_f32(a).astype(dt)
     b = jax.lax.dot_general(
         a, w2_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    b = _elu(b.astype(dt))
+    b = _elu_f32(b).astype(dt)
     u_ref[...] = jax.lax.dot_general(
         b, wp_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
