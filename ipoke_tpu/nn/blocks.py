@@ -144,16 +144,18 @@ class Conv2dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # skinny-N stride-1 SAME convs take the MXU-lane-packed emitter
-        # (identical math + identical param tree, name pinned to Conv_0);
-        # IPOKE_SMALLN_CONV=0 restores the plain conv emitter (the packed
-        # form trades ~9x lane utilization for a 9-tap fp32 intermediate,
-        # which at large spatial maps is real HBM traffic — measured A/B
-        # on TPU decides the default)
+        # skinny-N stride-1 SAME convs CAN take the MXU-lane-packed emitter
+        # (identical math + identical param tree, name pinned to Conv_0) via
+        # IPOKE_SMALLN_CONV=1, but it is OFF by default: the r4 shipped-scale
+        # TPU A/B (tools/profile_decode.py) measured the packed + phase
+        # rewrites at 104.9 ms/step vs 51.2 ms with the plain flax emitters —
+        # at 128px spatial maps the 9-tap fp32 intermediate is ~9x the
+        # activation HBM traffic, which swamps the lane-utilization win that
+        # motivated the emitter at 8x8 latents.
         import os
 
-        smalln = os.environ.get("IPOKE_SMALLN_CONV", "1") not in (
-            "0", "false", "False")
+        smalln = os.environ.get("IPOKE_SMALLN_CONV", "0") in (
+            "1", "true", "True")
         if (smalln and not self.snorm and self.st == 1 and self.ks % 2 == 1
                 and self.padding == self.ks // 2 and self.out_dim <= 8):
             x = _SmallNConv(self.out_dim, self.ks, use_bias=self.use_bias,
@@ -179,12 +181,16 @@ def phase_deconv_enabled() -> bool:
     """Gate for the phase-decomposed 2x transpose conv (exact subpixel
     identity).  A k3-s2 transpose conv lowered as an input-dilated conv
     multiplies 75% zeros; the four phase convs (1x1 + 1x2 + 2x1 + 2x2 taps =
-    2.25 MACs/output px vs 9) compute the identical result.  Override with
-    env ``IPOKE_PHASE_DECONV=0``."""
+    2.25 MACs/output px vs 9) compute the identical result.  OFF by default:
+    the r4 shipped-scale TPU A/B (tools/profile_decode.py, together with the
+    packed skinny-N emitter) measured the rewrites at 104.9 vs 51.2 ms/step —
+    XLA's own transpose-conv lowering does not pay the dilation zeros this
+    targeted, and the 4-phase interleave costs extra HBM passes.  Opt in
+    with env ``IPOKE_PHASE_DECONV=1`` to re-measure on other hardware."""
     import os
 
-    return os.environ.get("IPOKE_PHASE_DECONV", "1") not in (
-        "0", "false", "False")
+    return os.environ.get("IPOKE_PHASE_DECONV", "0") in (
+        "1", "true", "True")
 
 
 class _PhaseConvTranspose2x(nn.Module):
