@@ -12,6 +12,14 @@ tools/profile_inverse.py):
   gru_only  only the nn.scan'd ConvGRU rollout (8x8 latents, T sequential)
   gen_only  only the batched decoder render over a precomputed (T*B) hidden
 
+Finer gen attribution (opt-in, --variants gen_only,gen_nospade,gen_noout):
+
+  gen_nospade  decoder with every SPADE (GroupNorm + gamma/beta FMA) stubbed
+               to identity — gen_only minus gen_nospade = the norm/modulation
+               (VPU + HBM) share of the render
+  gen_noout    decoder without the final RGB conv + tanh — isolates the
+               skinny (64->3 @128px) head's cost
+
 Usage: python tools/profile_decode.py [--iters 10] [--rounds 3] [--small]
 """
 
@@ -115,6 +123,30 @@ def main():
 
     bodies["gen_only"] = lambda r: fs.apply(
         fs_vars, perturb(r, flat0), X[:, 0], T, method=gen_batched)
+
+    def gen_nospade(mdl, flat, start_frame, length):
+        del start_frame, length
+        gen = mdl.gen
+        h = gen.head(flat, False)
+        for up in gen.ups:
+            h = up(h, False)
+        return gen.out(h, False)
+
+    def gen_noout(mdl, flat, start_frame, length):
+        gen = mdl.gen
+        mods = gen.spade_modulations(start_frame, flat.shape[1])
+        mods_t = tuple((jnp.repeat(g, length, axis=0),
+                        jnp.repeat(bt, length, axis=0)) for g, bt in mods)
+        h = gen.head(flat, False)
+        for i, (up, sp) in enumerate(zip(gen.ups, gen.spades)):
+            h = up(h, False)
+            h = sp(h, None, mod=mods_t[i])
+        return h
+
+    bodies["gen_nospade"] = lambda r: fs.apply(
+        fs_vars, perturb(r, flat0), X[:, 0], T, method=gen_nospade)
+    bodies["gen_noout"] = lambda r: fs.apply(
+        fs_vars, perturb(r, flat0), X[:, 0], T, method=gen_noout)
 
     results = {}
     for name in args.variants.split(","):
