@@ -144,10 +144,10 @@ class FirstStageModel(nn.Module):
             # merged (B*T) dim lets shard propagation split it cleanly
             # instead of inserting resharding collectives
             flat = jnp.moveaxis(hs, 0, 1).reshape(B * T, *hs.shape[2:])
-            mods_t = tuple(
-                (jnp.repeat(g, T, axis=0), jnp.repeat(bt, T, axis=0))
-                for g, bt in mods)
-            frames = self.gen(flat, None, train=False, mods=mods_t)
+            # the (B,)-batched mods broadcast per clip inside the fused
+            # SPADE apply (b-major flat layout) — no T-repeated
+            # full-resolution gamma/beta maps are materialized
+            frames = self.gen(flat, None, train=False, mods=mods)
             return frames.reshape(B, T, *frames.shape[1:])
 
         def body(mdl, hidden, _):

@@ -93,10 +93,9 @@ class PokeVAEModel(nn.Module):
             # identical math — see FirstStageModel.decode)
             B = motion.shape[0]
             flat = jnp.stack(hs, axis=1).reshape(B * length, *hs[0].shape[1:])
-            mods_t = tuple(
-                (jnp.repeat(g, length, axis=0), jnp.repeat(b, length, axis=0))
-                for g, b in mods)
-            frames = self.gen(flat, None, train=False, mods=mods_t)
+            # (B,)-batched mods broadcast per clip inside the fused SPADE
+            # apply (b-major flat layout)
+            frames = self.gen(flat, None, train=False, mods=mods)
             return frames.reshape(B, length, *frames.shape[1:])
         return jnp.stack(
             [self.gen(h, start_frame, train=train, mods=mods) for h in hs],

@@ -361,6 +361,52 @@ class NormConv2d(nn.Module):
         return gamma * y + beta
 
 
+def spade_gn_modulate(x, gamma, beta, num_groups: int, eps: float = 1e-5):
+    """Parameter-free GroupNorm fused with the SPADE modulation in ONE
+    elementwise pass: ``GroupNorm(x) * (1 + gamma) + beta``.
+
+    Math-identical to ``nn.GroupNorm(use_bias=False, use_scale=False)``
+    followed by the modulation (fp32 stats via the fast-variance form with
+    the same max(0) clamp, normalized output cast to ``x.dtype`` BEFORE the
+    modulation, exactly like the flax layer under ``dtype=bf16``), but
+    emitted so XLA fuses stats -> normalize -> modulate into two reads of
+    ``x`` and one write — the r4 decode attribution measured the layered
+    form at 20.2 ms of the 51.1 ms shipped-scale render
+    (tools/profile_decode.py gen_only vs gen_nospade).
+
+    ``gamma``/``beta`` may carry a SMALLER leading batch than ``x`` when
+    ``x.shape[0]`` is a multiple of it (the batched T-frame render from one
+    start frame): they are then broadcast per clip instead of materializing
+    T repeated full-resolution maps (reference recomputes them per frame —
+    ``util.py:473-500``)."""
+    n, h, w, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32)
+    # two-stage stats: reduce over (H, W) per channel FIRST (native NHWC
+    # lane layout — a direct (..., G, C/G) grouped reduction puts a
+    # C/G-wide minor dim on the vector lanes), then group-average the tiny
+    # (N, C) row.  Equal element counts per group -> identical math.
+    m_c = jnp.mean(x32, axis=(1, 2))                       # (n, c)
+    m2_c = jnp.mean(jnp.square(x32), axis=(1, 2))          # (n, c)
+    mu_g = jnp.mean(m_c.reshape(n, g, c // g), axis=2)     # (n, g)
+    m2_g = jnp.mean(m2_c.reshape(n, g, c // g), axis=2)
+    var = jnp.maximum(m2_g - jnp.square(mu_g), 0.0)
+    s = jax.lax.rsqrt(var + eps)
+    # broadcast per-group scalars back to channels: (n, 1, 1, c)
+    mu = jnp.repeat(mu_g, c // g, axis=1)[:, None, None, :]
+    sc = jnp.repeat(s, c // g, axis=1)[:, None, None, :]
+    normed = ((x32 - mu) * sc).astype(x.dtype)
+    bm = gamma.shape[0]
+    if bm != n:
+        if n % bm != 0:
+            raise ValueError(f"mod batch {bm} does not divide x batch {n}")
+        t = n // bm
+        out = (normed.reshape(bm, t, h, w, c) * (1.0 + gamma[:, None])
+               + beta[:, None])
+        return out.reshape(n, h, w, c)
+    return normed * (1.0 + gamma) + beta
+
+
 class Spade(nn.Module):
     """SPADE conditioning: parameter-free GroupNorm modulated by gamma/beta
     convs over the (resized) conditioning image (reference ``util.py:473-500``).
@@ -370,8 +416,8 @@ class Spade(nn.Module):
     from ONE start frame can compute it once and pass it back via ``mod=``
     (the reference recomputes it every frame — identical math, ~10x the
     conditioning-branch FLOPs).  Submodules carry the explicit names the
-    previous ``@nn.compact`` auto-naming produced (``GroupNorm_0``,
-    ``Conv_0..2``) so ported checkpoints load unchanged.
+    previous ``@nn.compact`` auto-naming produced (``Conv_0..2``) so ported
+    checkpoints load unchanged.
     """
 
     num_features: int
@@ -381,11 +427,9 @@ class Spade(nn.Module):
     dtype: Dtype = None
 
     def setup(self):
-        self.norm_layer = nn.GroupNorm(
-            num_groups=_num_groups(self.num_features), use_bias=False,
-            use_scale=False, epsilon=1e-5, dtype=self.dtype,
-            name="GroupNorm_0",
-        )
+        # the parameter-free GroupNorm half lives in ``spade_gn_modulate``
+        # (fused with the modulation); no flax layer needed — GroupNorm_0
+        # never held params, so ported checkpoints are unaffected
         self.conv_hidden = nn.Conv(
             self.hidden, (3, 3), padding=1, dtype=self.dtype, name="Conv_0")
         self.conv_gamma = nn.Conv(
@@ -411,7 +455,10 @@ class Spade(nn.Module):
         if mod is None:
             mod = self.modulation(y, x.shape[1], x.shape[2])
         gamma, beta = mod
-        return self.norm_layer(x) * (1.0 + gamma) + beta
+        # fused GN+modulation (identical math to a parameter-free
+        # ``nn.GroupNorm`` followed by ``* (1.0 + gamma) + beta``)
+        return spade_gn_modulate(
+            x, gamma, beta, _num_groups(self.num_features), 1e-5)
 
 
 class AdaIN(nn.Module):

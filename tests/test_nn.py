@@ -241,3 +241,36 @@ def test_new_emitters_gradient_parity():
                     jax.tree_util.tree_leaves(g_old)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4)
+
+
+def test_fused_spade_gn_modulate_matches_layered():
+    """spade_gn_modulate (r4: one fused elementwise pass, fp32 stats) must
+    reproduce the layered form nn.GroupNorm(use_bias=False, use_scale=False)
+    -> * (1+gamma) + beta, in both the same-batch and the per-clip broadcast
+    (mod batch B, x batch B*T, b-major) layouts."""
+    from flax import linen as nn
+    from ipoke_tpu.nn.blocks import spade_gn_modulate, _num_groups
+
+    B, T, H, W, C = 3, 4, 8, 8, 32
+    g = _num_groups(C)
+    x = jax.random.normal(K(0), (B * T, H, W, C), jnp.float32) * 2.0 + 0.3
+    gamma = jax.random.normal(K(1), (B, H, W, C), jnp.float32)
+    beta = jax.random.normal(K(2), (B, H, W, C), jnp.float32)
+
+    gn = nn.GroupNorm(num_groups=g, use_bias=False, use_scale=False,
+                      epsilon=1e-5)
+    normed = gn.apply({}, x)
+    gamma_t = jnp.repeat(gamma, T, axis=0)
+    beta_t = jnp.repeat(beta, T, axis=0)
+    want = normed * (1.0 + gamma_t) + beta_t
+
+    got_same = spade_gn_modulate(x, gamma_t, beta_t, g)
+    np.testing.assert_allclose(np.asarray(got_same), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    got_bcast = spade_gn_modulate(x, gamma, beta, g)
+    np.testing.assert_allclose(np.asarray(got_bcast), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        spade_gn_modulate(x[: B * T - 1], gamma, beta, g)

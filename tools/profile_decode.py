@@ -116,10 +116,10 @@ def main():
     jax.device_get(jnp.mean(flat0))
 
     def gen_batched(mdl, flat, start_frame, length):
+        del length
         mods = mdl.gen.spade_modulations(start_frame, flat.shape[1])
-        mods_t = tuple((jnp.repeat(g, length, axis=0),
-                        jnp.repeat(bt, length, axis=0)) for g, bt in mods)
-        return mdl.gen(flat, None, train=False, mods=mods_t)
+        # (B,)-batched mods broadcast per clip inside the fused SPADE apply
+        return mdl.gen(flat, None, train=False, mods=mods)
 
     bodies["gen_only"] = lambda r: fs.apply(
         fs_vars, perturb(r, flat0), X[:, 0], T, method=gen_batched)
@@ -133,14 +133,13 @@ def main():
         return gen.out(h, False)
 
     def gen_noout(mdl, flat, start_frame, length):
+        del length
         gen = mdl.gen
         mods = gen.spade_modulations(start_frame, flat.shape[1])
-        mods_t = tuple((jnp.repeat(g, length, axis=0),
-                        jnp.repeat(bt, length, axis=0)) for g, bt in mods)
         h = gen.head(flat, False)
         for i, (up, sp) in enumerate(zip(gen.ups, gen.spades)):
             h = up(h, False)
-            h = sp(h, None, mod=mods_t[i])
+            h = sp(h, None, mod=mods[i])
         return h
 
     bodies["gen_nospade"] = lambda r: fs.apply(
