@@ -549,6 +549,13 @@ class SecondStageExperiment(Experiment):
 
             tx = master_weights(tx)
             self.frozen = cast_floats(self.frozen, jnp.bfloat16)
+            if bool(tcfg.get("fused_nice_train", False)):
+                # run the coupling nets' density forward through the fused
+                # Pallas kernel + custom_vjp backward (ops/nice_net.py);
+                # bf16-only, hence gated under mixed_prec_master
+                from .. import ops
+
+                ops.set_fused_nice_train(True)
         self.tx = self.accumulate(tx)
         state = state.replace(opt=self.tx.init(state.params))
         self.state = state

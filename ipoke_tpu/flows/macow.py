@@ -313,10 +313,32 @@ class NICE2d(Flow):
     def forward(self, params, x, h=None):
         z1, z2 = self._split(x)
         z, zp = self._zp_z(z1, z2)
-        p = self._tr.calc(self._raw(params, z, h))
+        p = self._tr.calc(self._raw_train(params, z, h))
         zp, ld = self._tr.fwd(zp, p)
         z1, z2 = (z, zp) if self.order == "up" else (zp, z)
         return self._unsplit(z1, z2), ld
+
+    def _raw_train(self, params, z, h):
+        """``_raw`` with the DIFFERENTIABLE fused Pallas path
+        (``ops/nice_net.nice_net_raw_train``: fused 3-dot forward +
+        hand-written backward over kernel-emitted residuals).  Off by
+        default pending a shipped-scale TPU A/B
+        (``IPOKE_TPU_FUSED_NICE_TRAIN=1`` / ``set_fused_nice_train``);
+        bf16-only, so it targets the master-weights mixed-precision
+        recipe (``training.mixed_prec_master``)."""
+        from ..ops import fused_nice_train_enabled
+
+        hh = h if self.h_channels else None
+        if (fused_nice_train_enabled() and self.activation == "elu"
+                and z.dtype == jnp.bfloat16
+                and (self.h_channels == 0 or h is not None)):
+            from ..ops.nice_net import nice_net_fits, nice_net_raw_train
+
+            if nice_net_fits(params, z, hh, train=True):
+                return jax.lax.platform_dependent(
+                    tpu=lambda: nice_net_raw_train(False, params, z, hh),
+                    default=lambda: self._raw(params, z, h))
+        return self._raw(params, z, h)
 
     def inverse(self, params, y, h=None):
         z1, z2 = self._split(y)

@@ -73,6 +73,34 @@ def fused_nice_enabled() -> bool:
     return True
 
 
+_FORCE_NICE_TRAIN = None
+
+
+def set_fused_nice_train(enabled):
+    """Force the TRAINING-forward fused NICE-net gate (``None`` restores the
+    env default)."""
+    global _FORCE_NICE_TRAIN
+    _FORCE_NICE_TRAIN = None if enabled is None else bool(enabled)
+
+
+def fused_nice_train_enabled() -> bool:
+    """Gate for the differentiable fused NICE-net path
+    (``nice_net.nice_net_raw_train``): the density-direction ``forward``
+    of every NICE coupling runs the same fused 3-dot kernel as sampling,
+    emitting the post-ELU hiddens as residuals for a hand-written backward
+    (``custom_vjp``).  bf16-only, so it engages under the master-weights
+    mixed-precision recipe (``training.mixed_prec_master``).  Default OFF
+    until a shipped-scale TPU A/B lands (the r3 verdict's rule: no
+    program-changing default without a measurement); enable with
+    ``IPOKE_TPU_FUSED_NICE_TRAIN=1`` or ``set_fused_nice_train``."""
+    if _FORCE_NICE_TRAIN is not None:
+        return _FORCE_NICE_TRAIN
+    env = os.environ.get("IPOKE_TPU_FUSED_NICE_TRAIN")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def pallas_enabled() -> bool:
     """Default OFF: measured on TPU v5e at the shipped 8x8 latent shapes, the
     portable lax row-scan inverse (0.52 ms for a 5-step cINN, B=8) beats the

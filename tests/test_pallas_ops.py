@@ -175,3 +175,98 @@ def test_fused_nice_inverse_roundtrip(monkeypatch):
     zp = nice._tr.bwd(z2, p)
     np.testing.assert_allclose(
         np.asarray(nice._unsplit(z1, zp)), np.asarray(x), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused NICE net (training forward, ops/nice_net.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h_channels", [0, 6])
+def test_fused_nice_train_fwd_matches_raw(h_channels):
+    """The residual-emitting train kernel's forward reproduces NICE2d._raw."""
+    from ipoke_tpu.ops import nice_net
+
+    nice, params, x, h = _nice_and_params(h_channels=h_channels,
+                                          key=100 + h_channels)
+    z = nice._split(x)[0]
+    assert nice_net.nice_net_fits(params, z, h, train=True)
+    want = nice._raw(params, z, h)
+    raw, a, b = nice_net._train_impl(params, z, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # the emitted residuals ARE the portable chain's post-ELU hiddens
+    from ipoke_tpu.flows.primitives import conv1x1_dot, plain_conv_apply
+    a_ref = jax.nn.elu(plain_conv_apply(params["w1"], z, padding="SAME"))
+    b_ref = jax.nn.elu(conv1x1_dot(params["w2"], a_ref))
+    bsz, hh, ww, _ = z.shape
+    np.testing.assert_allclose(
+        np.asarray(a.reshape(bsz, hh, ww, -1)), np.asarray(a_ref),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(b.reshape(bsz, hh, ww, -1)), np.asarray(b_ref),
+        rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("h_channels", [0, 6])
+def test_fused_nice_train_grads_match(h_channels):
+    """custom_vjp backward (manual dots + portable-tail vjp) == jax.grad of
+    the portable chain, for params, z, and h."""
+    from ipoke_tpu.ops.nice_net import nice_net_raw_train
+
+    nice, params, x, h = _nice_and_params(h_channels=h_channels,
+                                          key=110 + h_channels)
+    z = nice._split(x)[0]
+
+    if h_channels:
+        loss_fused = lambda p, zz, hc: jnp.sum(
+            jnp.sin(nice_net_raw_train(True, p, zz, hc)))
+        loss_raw = lambda p, zz, hc: jnp.sum(jnp.sin(nice._raw(p, zz, hc)))
+        got = jax.grad(loss_fused, argnums=(0, 1, 2))(params, z, h)
+        want = jax.grad(loss_raw, argnums=(0, 1, 2))(params, z, h)
+    else:
+        loss_fused = lambda p, zz: jnp.sum(
+            jnp.sin(nice_net_raw_train(True, p, zz, None)))
+        loss_raw = lambda p, zz: jnp.sum(jnp.sin(nice._raw(p, zz, None)))
+        got = jax.grad(loss_fused, argnums=(0, 1))(params, z)
+        want = jax.grad(loss_raw, argnums=(0, 1))(params, z)
+
+    flat_g, tree_g = jax.tree_util.tree_flatten(got)
+    flat_w, tree_w = jax.tree_util.tree_flatten(want)
+    assert tree_g == tree_w
+    for gg, ww_ in zip(flat_g, flat_w):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww_),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_fused_nice_train_bf16_grad_dtypes():
+    """bf16 primals get bf16 cotangents (master-weights contract)."""
+    from ipoke_tpu.ops.nice_net import nice_net_fits, nice_net_raw_train
+
+    nice, params, x, h = _nice_and_params(key=120)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), t)
+    params, z = cast(params), nice._split(cast(x))[0]
+    assert nice_net_fits(params, z, None, train=True)
+    g = jax.grad(lambda p, zz: jnp.sum(
+        nice_net_raw_train(True, p, zz, None).astype(jnp.float32)),
+        argnums=(0, 1))(params, z)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert leaf.dtype == jnp.bfloat16
+
+
+def test_fused_nice_train_forward_dispatch():
+    """NICE2d.forward takes the fused train path when enabled (CPU keeps the
+    portable branch via platform dispatch — same values either way)."""
+    from ipoke_tpu import ops
+
+    nice, params, x, h = _nice_and_params(h_channels=6, key=130)
+    want, ld_want = nice.forward(params, x, h)
+    ops.set_fused_nice_train(True)
+    try:
+        got, ld_got = nice.forward(params, x, h)
+    finally:
+        ops.set_fused_nice_train(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_got), np.asarray(ld_want),
+                               atol=1e-6)

@@ -38,6 +38,12 @@ def main():
                          "per-step cast, half the param HBM bytes in "
                          "fwd+bwd), fp32 Adafactor master copies in the "
                          "optimizer (core.optim.master_weights)")
+    ap.add_argument("--fused-nice", action="store_true",
+                    help="with --mixed-master: run the coupling nets' "
+                         "density-direction forward through the fused "
+                         "3-dot Pallas kernel with the custom_vjp backward "
+                         "(ops.set_fused_nice_train; bf16-only, so it "
+                         "engages only when params/activations are bf16)")
     ap.add_argument("--small", action="store_true",
                     help="CI-sized build (64px, 12M params) for harness "
                          "sanity off-TPU")
@@ -100,6 +106,9 @@ def main():
         params = cast_floats(params, jnp.bfloat16)
         frozen = cast_floats(frozen, jnp.bfloat16)
         batch = cast_floats(batch, jnp.bfloat16)
+    if args.fused_nice:
+        from ipoke_tpu import ops
+        ops.set_fused_nice_train(True)
 
     if args.phase == "fwdbwd":
         tx = optax.sgd(1e-12)
