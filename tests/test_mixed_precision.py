@@ -181,3 +181,46 @@ def test_experiment_wires_mixed_prec_master(tmp_path, monkeypatch):
     frozen_leaves = [x for x in jax.tree_util.tree_leaves(exp.frozen)
                      if jnp.issubdtype(x.dtype, jnp.floating)]
     assert all(x.dtype == jnp.bfloat16 for x in frozen_leaves)
+
+
+def test_experiment_wires_fused_nice_train(tmp_path, monkeypatch):
+    """training.fused_nice_train (under mixed_prec_master) flips the ops
+    gate; on CPU the platform dispatch keeps the portable branch, so
+    training still runs with finite losses."""
+    import os
+
+    from ipoke_tpu import ops
+    from ipoke_tpu.cli.experiments import SecondStageExperiment
+    from ipoke_tpu.data.prep import make_synthetic_dataset
+    from tests.test_second_stage import SS_CFG, _make_frozen
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_videos=3, n_frames=10, spatial_size=32,
+                           flow_delta=4)
+    cfg = Config(copy.deepcopy(SS_CFG.to_dict() if hasattr(
+        SS_CFG, "to_dict") else dict(SS_CFG)))
+    cfg["general"] = {"experiment": "second_stage", "seed": 1, "debug": True,
+                      "model_name": "tiny_fused_train"}
+    cfg["data"].update(dataset="PlantDataset", poke_size=3, n_pokes=1,
+                       yield_videos=True)
+    cfg["training"]["mixed_prec_master"] = True
+    cfg["training"]["fused_nice_train"] = True
+    dirs = {}
+    for k in ("ckpt", "config", "generated", "log"):
+        dirs[k] = str(tmp_path / k)
+        os.makedirs(dirs[k], exist_ok=True)
+
+    fs_model, cond, poke, frozen = _make_frozen()
+    monkeypatch.setattr(SecondStageExperiment, "_load_frozen",
+                        lambda self, **kw: (fs_model, cond, poke, frozen))
+    try:
+        exp = SecondStageExperiment(cfg, dirs, data_root=root)
+        exp.build()
+        from ipoke_tpu.ops import fused_nice_train_enabled
+        assert fused_nice_train_enabled()
+        batch = next(iter(exp.datamodule.train_loader(epoch=0, n_batches=1)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, log = exp.train_step(batch, epoch=0)
+        assert np.isfinite(float(log["flow_loss"]))
+    finally:
+        ops.set_fused_nice_train(None)
