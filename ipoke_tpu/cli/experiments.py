@@ -549,17 +549,30 @@ class SecondStageExperiment(Experiment):
 
             tx = master_weights(tx)
             self.frozen = cast_floats(self.frozen, jnp.bfloat16)
-            if bool(tcfg.get("fused_nice_train", False)):
-                # run the coupling nets' density forward through the fused
-                # Pallas kernel + custom_vjp backward (ops/nice_net.py);
-                # bf16-only, hence gated under mixed_prec_master
-                from .. import ops
-
-                ops.set_fused_nice_train(True)
         self.tx = self.accumulate(tx)
         state = state.replace(opt=self.tx.init(state.params))
         self.state = state
         self._step = jax.jit(make_second_stage_train_step(self.model, self.tx))
+        if self._mixed and bool(tcfg.get("fused_nice_train", False)):
+            # run the coupling nets' density forward through the fused Pallas
+            # kernel + custom_vjp backward (ops/nice_net.py); bf16-only,
+            # hence gated under mixed_prec_master.  The ops gate is a
+            # process-level global consulted at TRACE time, so it is flipped
+            # only around each step call (the jit retraces under the right
+            # gate, and nothing later in the process inherits it — advisor r4)
+            from .. import ops
+
+            jitted = self._step
+
+            def _step_with_fused_gate(*args):
+                prev = ops._FORCE_NICE_TRAIN
+                ops.set_fused_nice_train(True)
+                try:
+                    return jitted(*args)
+                finally:
+                    ops.set_fused_nice_train(prev)
+
+            self._step = _step_with_fused_gate
 
     def train_step(self, batch, epoch):
         # DDI only on a genuinely fresh run: re-running it on a restored

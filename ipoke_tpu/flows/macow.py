@@ -329,8 +329,14 @@ class NICE2d(Flow):
         from ..ops import fused_nice_train_enabled
 
         hh = h if self.h_channels else None
+        # gate on PARAM dtype too, not just the activation: with fp32 params
+        # + bf16 activations (fused_nice_train without mixed_prec_master) the
+        # fused epilogue's `acc.astype(bf16) + b_out(f32)` promotes to f32
+        # while the portable branch stays bf16 — the two platform_dependent
+        # branches would disagree on output aval at trace time (advisor r4)
         if (fused_nice_train_enabled() and self.activation == "elu"
                 and z.dtype == jnp.bfloat16
+                and params["out"]["b"].dtype == jnp.bfloat16
                 and (self.h_channels == 0 or h is not None)):
             from ..ops.nice_net import nice_net_fits, nice_net_raw_train
 

@@ -73,19 +73,31 @@ def _pick_block_b(batch: int, hw: int, k1: int, hid: int, nine_cout: int,
     """Largest divisor of ``batch`` whose tile fits the VMEM budget: resident
     weights + double-buffered zcol/u blocks + two live hidden activations
     per item (the train variant also double-buffers the two residual output
-    blocks).  Env ``IPOKE_NICE_BLOCK_B`` overrides (0 disables)."""
-    env = os.environ.get("IPOKE_NICE_BLOCK_B")
-    if env is not None:
-        bb = int(env)
-        if bb <= 0:
-            return None
-        return bb if batch % bb == 0 else None
+    blocks).  Env ``IPOKE_NICE_BLOCK_B`` overrides (0 disables) — the
+    override is still validated against the variant-aware VMEM budget (the
+    train kernel needs more VMEM per item than inference, so a block tuned
+    on the inference kernel could otherwise overflow; advisor r4)."""
     fixed = (k1 * hid + hid * hid + hid * nine_cout) * itemsize
     per_b = hw * (2 * (k1 + nine_cout * 2) * itemsize  # io blocks, 2x buffered
                   + 2 * hid * itemsize    # the two live hidden activations
                   + hid * 4)              # one fp32 dot accumulator
     if train:
         per_b += hw * 4 * hid * itemsize  # a/b residual out blocks, 2x buffered
+    env = os.environ.get("IPOKE_NICE_BLOCK_B")
+    if env is not None:
+        bb = int(env)
+        if bb <= 0 or batch % bb != 0:
+            return None
+        if fixed + bb * per_b > _VMEM_BUDGET:
+            import warnings
+
+            warnings.warn(
+                f"IPOKE_NICE_BLOCK_B={bb} exceeds the "
+                f"{'train' if train else 'inference'} VMEM budget "
+                f"({fixed + bb * per_b} > {_VMEM_BUDGET} bytes); "
+                "falling back to the portable emitters for this shape")
+            return None
+        return bb
     for bb in (16, 10, 8, 5, 4, 2, 1):
         if batch % bb == 0 and fixed + bb * per_b <= _VMEM_BUDGET:
             return bb

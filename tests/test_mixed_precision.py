@@ -184,9 +184,11 @@ def test_experiment_wires_mixed_prec_master(tmp_path, monkeypatch):
 
 
 def test_experiment_wires_fused_nice_train(tmp_path, monkeypatch):
-    """training.fused_nice_train (under mixed_prec_master) flips the ops
-    gate; on CPU the platform dispatch keeps the portable branch, so
-    training still runs with finite losses."""
+    """training.fused_nice_train (under mixed_prec_master) scopes the ops
+    gate to each step call — set during the step (where the jit trace
+    happens), restored after, so nothing later in the process inherits it
+    (advisor r4).  On CPU the platform dispatch keeps the portable branch,
+    so training still runs with finite losses."""
     import os
 
     from ipoke_tpu import ops
@@ -217,10 +219,31 @@ def test_experiment_wires_fused_nice_train(tmp_path, monkeypatch):
         exp = SecondStageExperiment(cfg, dirs, data_root=root)
         exp.build()
         from ipoke_tpu.ops import fused_nice_train_enabled
-        assert fused_nice_train_enabled()
+        # the gate must NOT leak at build time (it is scoped to step calls)
+        assert not fused_nice_train_enabled()
+
+        seen = {}
+        jitted = exp._step.__closure__  # the wrapper closes over the jit
+
+        def probe_step(*args):
+            seen["during"] = fused_nice_train_enabled()
+            return _orig(*args)
+
+        # intercept the inner jitted fn to observe the gate mid-call
+        _orig = None
+        for cell in (jitted or ()):
+            if callable(cell.cell_contents) and hasattr(
+                    cell.cell_contents, "lower"):
+                _orig = cell.cell_contents
+                cell.cell_contents = probe_step
+        assert _orig is not None, "fused-gate step wrapper not installed"
+
         batch = next(iter(exp.datamodule.train_loader(epoch=0, n_batches=1)))
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, log = exp.train_step(batch, epoch=0)
         assert np.isfinite(float(log["flow_loss"]))
+        # gate was ON while the step (and hence any trace) ran, OFF after
+        assert seen["during"] is True
+        assert not fused_nice_train_enabled()
     finally:
         ops.set_fused_nice_train(None)

@@ -255,6 +255,70 @@ def test_fused_nice_train_bf16_grad_dtypes():
         assert leaf.dtype == jnp.bfloat16
 
 
+@pytest.mark.parametrize("h_channels", [0, 6])
+def test_fused_nice_train_primal_matches_fwd_rule(h_channels):
+    """The custom_vjp PRIMAL (plain inference kernel) and FWD RULE
+    (_train_impl's residual-emitting kernel) are independent forward
+    implementations; under jax.checkpoint the reported loss comes from the
+    primal while gradients come from the fwd rule, so they must stay
+    numerically identical if either kernel/epilogue is edited (advisor r4)."""
+    from ipoke_tpu.ops import nice_net
+
+    nice, params, x, h = _nice_and_params(h_channels=h_channels,
+                                          key=140 + h_channels)
+    z = nice._split(x)[0]
+    primal = nice_net.nice_net_raw_train(True, params, z, h)
+    fwd_raw, _, _ = nice_net._train_impl(params, z, h, interpret=True)
+    np.testing.assert_array_equal(np.asarray(primal), np.asarray(fwd_raw))
+
+
+def test_nice_block_env_override_respects_train_budget(monkeypatch):
+    """IPOKE_NICE_BLOCK_B is validated against the variant-aware VMEM budget:
+    a block size that fits the inference kernel but overflows the train
+    kernel (extra residual buffers) must be refused for train=True instead
+    of overflowing VMEM at run time (advisor r4)."""
+    from ipoke_tpu.ops.nice_net import _pick_block_b
+
+    # sized so bb=16 fits the inference budget (~2.6 MB fixed + 16*0.62 MB)
+    # but overflows the train budget (16*1.15 MB per item)
+    args = dict(batch=16, hw=64, k1=128, hid=1024, nine_cout=128, itemsize=2)
+    auto_inf = _pick_block_b(**args)
+    auto_train = _pick_block_b(**args, train=True)
+    assert auto_inf == 16 and auto_train is not None
+    assert auto_train < auto_inf
+
+    monkeypatch.setenv("IPOKE_NICE_BLOCK_B", "16")
+    assert _pick_block_b(**args) == 16  # honored where it fits
+    with pytest.warns(UserWarning, match="VMEM budget"):
+        assert _pick_block_b(**args, train=True) is None
+    # a tiny override that fits both is honored in both variants
+    monkeypatch.setenv("IPOKE_NICE_BLOCK_B", "1")
+    assert _pick_block_b(**args, train=True) == 1
+    assert _pick_block_b(**args) == 1
+
+
+def test_fused_train_gate_requires_bf16_params():
+    """_raw_train falls back to the portable path when params are fp32 even
+    if activations are bf16 — mismatched precision must not reach the
+    platform_dependent branch pair (advisor r4: the branches would disagree
+    on output dtype)."""
+    from unittest import mock
+
+    from ipoke_tpu import ops
+
+    nice, params, x, h = _nice_and_params(h_channels=6, key=150)
+    x16 = x.astype(jnp.bfloat16)
+    h16 = h.astype(jnp.bfloat16)
+    ops.set_fused_nice_train(True)
+    try:
+        with mock.patch("ipoke_tpu.ops.nice_net.nice_net_raw_train") as m:
+            out, _ = nice.forward(params, x16, h16)  # fp32 params
+            m.assert_not_called()
+    finally:
+        ops.set_fused_nice_train(None)
+    assert jnp.isfinite(out).all()
+
+
 def test_fused_nice_train_forward_dispatch():
     """NICE2d.forward takes the fused train path when enabled (CPU keeps the
     portable branch via platform dispatch — same values either way)."""
