@@ -28,15 +28,59 @@ def gan_adam(lr, weight_decay: float = 1e-5, b1: float = 0.5, b2: float = 0.9):
     )
 
 
+class ScaleByTorchAmsgradState(NamedTuple):
+    count: Any
+    mu: Any
+    nu: Any
+    nu_max: Any
+
+
+def scale_by_torch_amsgrad(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8):
+    """torch ``Adam(amsgrad=True)``'s exact update (reference cINN optimizer,
+    ``second_stage_video.py:662-663``): the running max is taken over the
+    RAW second moment and bias-corrected with the CURRENT step's factor —
+    ``step = mhat / (sqrt(max(nu))/sqrt(bc2) + eps)``.  (optax's
+    ``scale_by_amsgrad`` instead maxes the bias-CORRECTED ``nu_hat``, which
+    locks in the early steps' inflated estimates — measurably different
+    trajectories; see tests/test_train_trajectory_parity.py.)"""
+
+    def init_fn(params):
+        z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ScaleByTorchAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=z(), nu=z(), nu_max=z())
+
+    def update_fn(updates, state, params=None):
+        del params
+        t = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v + (1 - b2) * g * g, updates, state.nu)
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1 ** t.astype(jnp.float32)
+        bc2 = 1 - b2 ** t.astype(jnp.float32)
+        upd = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
+            mu, nu_max)
+        return upd, ScaleByTorchAmsgradState(count=t, mu=mu, nu=nu,
+                                             nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
               clip_grad_norm: float = 0.0, use_adabelief: bool = False,
-              use_adafactor: bool = False):
+              use_adafactor: bool = False, use_amsgrad: bool = True):
     """Adam / AdaBelief (reference ``training.use_adabelief``) / Adafactor
     for flow params; masks out ``buf_*`` buffer leaves entirely.
 
-    ``use_adafactor`` swaps in factored second moments — at the shipped
-    1054M-param cINN scale, Adam's fp32 m/v states (8.4 GB) plus grads do not
-    fit one v5e's 16 GB HBM; Adafactor's ~O(sqrt) state does."""
+    The default Adam branch is torch-exact AMSGrad — the reference builds
+    the cINN optimizer as ``Adam(..., amsgrad=True)``
+    (``second_stage_video.py:662-663``); ``use_amsgrad=False`` restores
+    plain Adam.  ``use_adafactor`` swaps in factored second moments — at the
+    shipped 1054M-param cINN scale, Adam's fp32 m/v states (8.4 GB) plus
+    grads do not fit one v5e's 16 GB HBM; Adafactor's ~O(sqrt) state does."""
     chain = []
     if clip_grad_norm and clip_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(clip_grad_norm))
@@ -45,6 +89,8 @@ def flow_adam(lr_schedule, weight_decay: float = 1e-5, params=None,
         chain.append(optax.scale_by_factored_rms())
     elif use_adabelief:
         chain.append(optax.scale_by_belief())
+    elif use_amsgrad:
+        chain.append(scale_by_torch_amsgrad(b1=0.9, b2=0.999))
     else:
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
     chain.append(optax.scale_by_learning_rate(lr_schedule))

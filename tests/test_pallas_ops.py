@@ -307,16 +307,31 @@ def test_fused_train_gate_requires_bf16_params():
     from ipoke_tpu import ops
 
     nice, params, x, h = _nice_and_params(h_channels=6, key=150)
-    x16 = x.astype(jnp.bfloat16)
+    z16 = nice._split(x)[0].astype(jnp.bfloat16)
     h16 = h.astype(jnp.bfloat16)
+    sentinel = object()
     ops.set_fused_nice_train(True)
     try:
-        with mock.patch("ipoke_tpu.ops.nice_net.nice_net_raw_train") as m:
-            out, _ = nice.forward(params, x16, h16)  # fp32 params
+        with mock.patch("ipoke_tpu.ops.nice_net.nice_net_raw_train") as m, \
+                mock.patch.object(type(nice), "_raw",
+                                  return_value=sentinel) as raw:
+            out = nice._raw_train(params, z16, h16)  # fp32 params
             m.assert_not_called()
+            raw.assert_called_once()
+        assert out is sentinel
+
+        # control: with bf16 params too, the fused branch IS taken (the
+        # platform_dependent call sees the kernel path on TPU)
+        p16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        with mock.patch.object(jax.lax, "platform_dependent",
+                               return_value=sentinel) as pd:
+            out = nice._raw_train(p16, z16, h16)
+            pd.assert_called_once()
+        assert out is sentinel
     finally:
         ops.set_fused_nice_train(None)
-    assert jnp.isfinite(out).all()
 
 
 def test_fused_nice_train_forward_dispatch():
