@@ -47,6 +47,14 @@ class _ColorTransform:
 
         if self.is_identity:
             return clip_u8
+        # fast path: fused single-pass native jitter (LUT + integer HSV),
+        # cv2-semantics-compatible; falls through to the numpy/cv2 path when
+        # the native lib is unavailable
+        from ..ops.native import color_jitter_clip
+
+        out = color_jitter_clip(clip_u8, self.b, self.c, self.h, self.s)
+        if out is not None:
+            return out
         t, hh, ww, cc = clip_u8.shape
         img = clip_u8
         if self.b != 1.0 or self.c != 1.0:

@@ -240,18 +240,26 @@ class VideoDataset:
 
     # -- loaders ---------------------------------------------------------------
     def _load_img(self, path: str) -> np.ndarray:
-        import cv2
-
-        img = cv2.imread(str(path))
-        if img is None:
-            raise FlowError(f"could not read image {path}")
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         # Human3.6m resizes with lanczos, but ONLY at spatial_size 64 —
         # the reference gates it (flow_dataset.py:584 use_lanczos;
         # base_dataset.py:411 `use_lanczos and spatial_size == 64`)
-        interp = cv2.INTER_LANCZOS4 if (
-            self.use_lanczos and self.spatial_size[0] == 64
-        ) else cv2.INTER_LINEAR
+        use_lanczos = self.use_lanczos and self.spatial_size[0] == 64
+        path = str(path)
+        if not use_lanczos and path.lower().endswith(".png"):
+            # fast path: native fused decode+RGB+bilinear resize (one pass
+            # instead of imread + cvtColor + resize)
+            from ..ops.native import decode_png
+
+            img = decode_png(path, self.spatial_size[0], self.spatial_size[1])
+            if img is not None:
+                return img
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            raise FlowError(f"could not read image {path}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        interp = cv2.INTER_LANCZOS4 if use_lanczos else cv2.INTER_LINEAR
         img = cv2.resize(
             img, (self.spatial_size[1], self.spatial_size[0]),
             interpolation=interp,

@@ -41,8 +41,13 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(_repo_root(), "native", "libipoke_native.so")
-    if not os.path.exists(path):
+    d = os.path.join(_repo_root(), "native")
+    path = os.path.join(d, "libipoke_native.so")
+    src = os.path.join(d, "ipoke_native.cpp")
+    stale = (not os.path.exists(path)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(path)))
+    if stale:  # also rebuilds a lib older than the source (new symbols)
         build_native()
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
@@ -58,6 +63,15 @@ def _load():
         lib.flow_amplitude_stats.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                              ctypes.c_int, f32p, f32p, f32p,
                                              f32p]
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        lib.decode_png_rgb_resize.argtypes = [ctypes.c_char_p, u8p,
+                                              ctypes.c_int, ctypes.c_int]
+        lib.decode_png_rgb_resize.restype = ctypes.c_int
+        lib.color_jitter_clip.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_float,
+                                          ctypes.c_float, ctypes.c_float,
+                                          ctypes.c_float]
+        lib.color_jitter_clip.restype = ctypes.c_int
         _LIB = lib
     return _LIB
 
@@ -148,6 +162,44 @@ def nms_oks(kps: np.ndarray, scores: np.ndarray, areas: np.ndarray,
             if not suppressed[j] and oks(kps[i], kps[j], areas[i]) > thresh:
                 suppressed[j] = True
     return np.asarray(keep, np.int32)
+
+
+def decode_png(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """Fused PNG decode + RGB + bilinear resize to (out_h, out_w, 3) uint8 —
+    the loader's hottest leg (replaces cv2.imread + cvtColor + resize, three
+    full-image passes).  Returns None if the native lib is unavailable or the
+    file is unsupported (caller falls back to cv2).  Resize convention is
+    half-pixel centers like cv2.INTER_LINEAR; fixed-point rounding can differ
+    from cv2 by at most 1 uint8 level (tests/test_native_ops.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "decode_png_rgb_resize"):
+        return None
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.decode_png_rgb_resize(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out_h, out_w)
+    return out if rc == 0 else None
+
+
+def color_jitter_clip(clip_u8: np.ndarray, b: float, c: float, h: float,
+                      s: float) -> Optional[np.ndarray]:
+    """Single-pass fused brightness/contrast LUT + HSV hue/sat jitter over a
+    (T, H, W, 3) uint8 clip, cv2-semantics-compatible (OpenCV fixed-point u8
+    HSV both ways, numpy-style uint8 truncation after the float jitter).
+    Returns a new array, or None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "color_jitter_clip"):
+        return None
+    out = np.ascontiguousarray(clip_u8, np.uint8).copy()
+    t, hh, ww, cc = out.shape
+    assert cc == 3, out.shape
+    # hue offset pre-scaled in float64 THEN rounded to f32 — numpy's scalar
+    # promotion order in the fallback path (f32(h*180.0), not f32(h)*180)
+    rc = lib.color_jitter_clip(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), t, hh, ww,
+        ctypes.c_float(b), ctypes.c_float(c), ctypes.c_float(h * 180.0),
+        ctypes.c_float(s))
+    return out if rc == 0 else None
 
 
 def load_flow(path: str, out_h: int, out_w: int,

@@ -64,6 +64,98 @@ def test_native_flow_loader_matches_python(tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_decode_png_same_size_bit_exact(tmp_path):
+    """No-resize decode must equal cv2.imread+cvtColor exactly (PNG is
+    lossless)."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 48, 3), np.uint8)
+    p = str(tmp_path / "img.png")
+    assert cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    out = native.decode_png(p, 64, 48)
+    assert out is not None, "native PNG decode unavailable"
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decode_png_resize_matches_cv2(tmp_path):
+    """Fused decode+resize vs cv2.resize INTER_LINEAR: same half-pixel
+    sampling; fixed-point rounding may differ by at most 1 uint8 level."""
+    import cv2
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (256, 256, 3), np.uint8)
+    p = str(tmp_path / "img.png")
+    assert cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    # the shipped prep layout (stored 256px -> train 128px) is BIT-EXACT;
+    # non-dyadic scales differ by <=1 uint8 level on ~11% of pixels (cv2
+    # quantizes interpolation weights to 11-bit fixed point, we use float)
+    out = native.decode_png(p, 128, 128)
+    ref = cv2.resize(img, (128, 128), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(out, ref)
+    out = native.decode_png(p, 96, 80)
+    ref = cv2.resize(img, (80, 96), interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, diff.max()
+    assert (diff == 0).mean() > 0.85, (diff == 0).mean()
+
+
+def test_color_jitter_native_matches_python():
+    """Fused native jitter vs the numpy/cv2 path across the full transform
+    grid (brightness/contrast only, hue/sat only, both)."""
+    from unittest import mock
+
+    from ipoke_tpu.data.augment import _ColorTransform
+
+    rng = np.random.default_rng(5)
+    clip = rng.integers(0, 256, (3, 32, 40, 3), np.uint8)
+    cases = [
+        (1.3, 0.7, 0.0, 1.0),    # brightness+contrast only (pure LUT)
+        (1.0, 1.0, 0.08, 1.3),   # hue+sat only (integer HSV both ways)
+        (0.7, 1.4, -0.1, 0.6),   # everything
+        (1.0, 1.0, 0.3, 1.0),    # hue wrap
+    ]
+    for b, c, h, s in cases:
+        tr = _ColorTransform(b, c, h, s)
+        got = native.color_jitter_clip(clip, b, c, h, s)
+        assert got is not None, "native jitter unavailable"
+        with mock.patch("ipoke_tpu.ops.native.color_jitter_clip",
+                        return_value=None):
+            want = tr.apply_clip(clip.copy())
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # tolerance: <=1 uint8 level.  Exactness to cv2 is ill-defined at
+        # this magnitude: cv2's OWN u8 HSV2RGB differs by 1 between its SIMD
+        # (clip-level cvtColor) and scalar (1x1 cvtColor) paths — verified
+        # while building this test.  b/c-only (pure LUT) is bit-exact.
+        assert diff.max() <= 1, (b, c, h, s, diff.max())
+        assert (diff == 0).mean() > 0.9, ((b, c, h, s), (diff == 0).mean())
+        if h == 0.0 and s == 1.0:
+            assert diff.max() == 0, "LUT-only case must be bit-exact"
+
+
+def test_loader_img_path_uses_native_decode(tmp_path):
+    """VideoDataset._load_img returns the same pixels through the native fast
+    path as through the cv2 fallback."""
+    import cv2
+    from unittest import mock
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (256, 256, 3), np.uint8)
+    p = str(tmp_path / "frame_0.png")
+    assert cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    class Holder:
+        use_lanczos = False
+        spatial_size = (128, 128)
+
+    from ipoke_tpu.data.datasets import VideoDataset
+
+    fast = VideoDataset._load_img(Holder(), p)
+    with mock.patch("ipoke_tpu.ops.native.decode_png", return_value=None):
+        slow = VideoDataset._load_img(Holder(), p)
+    assert np.abs(fast.astype(int) - slow.astype(int)).max() <= 1
+
+
 def test_native_flow_loader_rejects_bad_file(tmp_path):
     p = str(tmp_path / "bad.npy")
     np.save(p, np.zeros((3, 4), np.float64))
