@@ -381,6 +381,24 @@ def spade_gn_modulate(x, gamma, beta, num_groups: int, eps: float = 1e-5):
     ``util.py:473-500``)."""
     n, h, w, c = x.shape
     g = num_groups
+    # single-read Pallas path (TPU inference): the frame stays VMEM-resident
+    # so x is read from HBM once instead of the stats + normalize double
+    # read.  Gated (ops.fused_spade_enabled) and shape-checked; lowering-time
+    # platform dispatch keeps every non-TPU backend on the portable form.
+    from .. import ops as _ops
+    from ..ops import spade_gn as _spade_gn
+
+    if (_ops.fused_spade_enabled()
+            and gamma.shape == beta.shape
+            and gamma.shape[1:] == x.shape[1:]
+            and _spade_gn.kernel_supported(x.shape, gamma.shape[0], g,
+                                           x.dtype)):
+        return _spade_gn.spade_gn_fused(x, gamma, beta, g, eps)
+    return _spade_gn_portable(x, gamma, beta, g, eps)
+
+
+def _spade_gn_portable(x, gamma, beta, g: int, eps: float):
+    n, h, w, c = x.shape
     x32 = x.astype(jnp.float32)
     # two-stage stats: reduce over (H, W) per channel FIRST (native NHWC
     # lane layout — a direct (..., G, C/G) grouped reduction puts a

@@ -101,6 +101,34 @@ def fused_nice_train_enabled() -> bool:
     return False
 
 
+_FORCE_SPADE = None
+
+
+def set_fused_spade(enabled):
+    """Force the fused SPADE GN+modulate kernel gate (``None`` restores the
+    env default)."""
+    global _FORCE_SPADE
+    _FORCE_SPADE = None if enabled is None else bool(enabled)
+
+
+def fused_spade_enabled() -> bool:
+    """Gate for the single-read SPADE GroupNorm+modulation kernel
+    (``spade_gn.spade_gn_modulate_pallas``): each decode frame stays
+    VMEM-resident so the activation is read from HBM once instead of the
+    stats/normalize double read (r4 attribution: SPADE = 20.2 ms of the
+    51.1 ms render at ~3x its HBM floor).  Default OFF until a
+    shipped-scale TPU A/B lands (the r3 verdict's rule: no program-changing
+    default without a measurement); enable with ``IPOKE_TPU_FUSED_SPADE=1``
+    or ``set_fused_spade`` (platform dispatch keeps non-TPU backends
+    portable regardless)."""
+    if _FORCE_SPADE is not None:
+        return _FORCE_SPADE
+    env = os.environ.get("IPOKE_TPU_FUSED_SPADE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def pallas_enabled() -> bool:
     """Default OFF: measured on TPU v5e at the shipped 8x8 latent shapes, the
     portable lax row-scan inverse (0.52 ms for a 5-step cINN, B=8) beats the

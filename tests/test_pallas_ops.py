@@ -349,3 +349,79 @@ def test_fused_nice_train_forward_dispatch():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ld_got), np.asarray(ld_want),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused SPADE GN+modulate kernel (ops/spade_gn.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,groups,bm", [
+    ((4, 8, 8, 64), 16, 2),     # C < 128 (top decode level layout), t=2
+    ((4, 8, 8, 128), 16, 4),    # C == 128, per-frame modulations
+    ((2, 4, 4, 256), 16, 1),    # C = 2*128 -> two lane phases, t=2
+    ((3, 8, 8, 96), 16, 3),     # unsupported C (128 % 96 != 0) -> portable
+])
+def test_spade_gn_kernel_matches_portable(shape, groups, bm):
+    """Interpret-mode kernel == portable fused GN+modulate math."""
+    from ipoke_tpu.nn.blocks import _num_groups, _spade_gn_portable
+    from ipoke_tpu.ops import spade_gn
+
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    x = jnp.asarray(rng.normal(0, 2, shape).astype(np.float32))
+    g = _num_groups(shape[-1], groups)
+    mshape = (bm,) + shape[1:]
+    gamma = jnp.asarray(rng.normal(0, 0.5, mshape).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.5, mshape).astype(np.float32))
+
+    want = _spade_gn_portable(x, gamma, beta, g, 1e-5)
+    if not spade_gn.kernel_supported(shape, bm, g, x.dtype):
+        assert shape[-1] == 96  # only the designed-unsupported case
+        return
+    got = spade_gn.spade_gn_modulate_pallas(x, gamma, beta, g, 1e-5,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_spade_gn_fused_grads_are_portable():
+    """jax.grad through spade_gn_fused == grad of the portable math (the
+    custom_vjp fwd rule swaps in the portable forward so training never
+    traces the kernel)."""
+    from ipoke_tpu.nn.blocks import _spade_gn_portable
+    from ipoke_tpu.ops.spade_gn import spade_gn_fused
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 64)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 0.5, (1, 4, 4, 64)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.5, (1, 4, 4, 64)).astype(np.float32))
+
+    def loss_fused(args):
+        return jnp.sum(jnp.square(spade_gn_fused(*args, 16, 1e-5)))
+
+    def loss_port(args):
+        return jnp.sum(jnp.square(_spade_gn_portable(*args, 16, 1e-5)))
+
+    g1 = jax.grad(loss_fused)((x, gamma, beta))
+    g2 = jax.grad(loss_port)((x, gamma, beta))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_spade_module_gate_wiring(monkeypatch):
+    """nn.blocks.spade_gn_modulate routes to the fused path only when the
+    gate is on AND the shape is supported; values agree on CPU (platform
+    dispatch keeps the portable branch)."""
+    from ipoke_tpu import ops
+    from ipoke_tpu.nn import blocks
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(0, 1, (4, 8, 8, 64)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, 64)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, 64)).astype(np.float32))
+    base = blocks.spade_gn_modulate(x, gamma, beta, 16)
+    ops.set_fused_spade(True)
+    try:
+        fused = blocks.spade_gn_modulate(x, gamma, beta, 16)
+    finally:
+        ops.set_fused_spade(None)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-6)
