@@ -54,6 +54,13 @@ def main():
                          "value_and_grad + SGD(1e-12) feedback (grads "
                          "materialized, optimizer ~= one param-tree "
                          "read-modify-write); full = shipped Adafactor step")
+    ap.add_argument("--nice-stub",
+                    choices=["no_w1", "no_w2", "out_center", "noact"],
+                    help="per-shape TRAIN attribution (r4-verdict weak #3): "
+                         "patch NICE2d._raw with a differentiable timing "
+                         "stub (tools/nice_stubs.py) so the component's "
+                         "train cost (its forward AND its VJP) = full "
+                         "fwdbwd minus stubbed fwdbwd")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +116,10 @@ def main():
     if args.fused_nice:
         from ipoke_tpu import ops
         ops.set_fused_nice_train(True)
+    if args.nice_stub:
+        from tools import nice_stubs
+        nice_stubs.apply(args.nice_stub)  # restored at process exit
+        print(f"NICE stub active: {args.nice_stub}", flush=True)
 
     if args.phase == "fwdbwd":
         tx = optax.sgd(1e-12)
@@ -172,15 +183,37 @@ def main():
                                  jax.random.PRNGKey(w))
         print(f"warm {w} (compile + window): {time.perf_counter() - t0:.0f}s "
               f"losses {jax.device_get(losses)}", flush=True)
+    best = None
     for r in range(args.rounds):
         key = jax.device_put(jax.random.PRNGKey(100 + r), dev)
         t0 = time.perf_counter()
         params, opt, losses = fn(params, opt, frozen, batch, key)
         final = float(jax.device_get(losses)[-1])
         dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
         print(f"round {r}: {dt / args.steps * 1e3:.1f} ms/step "
               f"({args.steps} steps, final loss {final:.3f}, "
               f"{B / (dt / args.steps):.1f} clips/s)", flush=True)
+
+    # MXU-efficiency estimate vs the train-step FLOP floor (r4-verdict weak
+    # #3): XLA's own cost model for the compiled K-step program, divided by
+    # the best measured window.  The bf16 peak (197 TFLOP/s on v5e) is the
+    # speed-of-light REFERENCE; the fp32 default path's attainable matmul
+    # peak is ~1/3 of it (the MXU runs f32 as 3-6 bf16 passes).
+    try:
+        cost = fn.lower(params, opt, frozen, batch,
+                        jax.random.PRNGKey(0)).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0 and best:
+            tf_s = flops / best / 1e12
+            print(f"cost_analysis: {flops / args.steps / 1e12:.2f} TFLOP/step "
+                  f"=> {tf_s:.1f} TFLOP/s sustained "
+                  f"({100 * tf_s / 197:.1f}% of bf16 peak, "
+                  f"{100 * tf_s / (197 / 3):.1f}% of ~f32 matmul peak)",
+                  flush=True)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"cost_analysis unavailable: {e}", flush=True)
 
 
 if __name__ == "__main__":
