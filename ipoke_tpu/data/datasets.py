@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -115,6 +116,17 @@ class VideoDataset:
         self.geom_aug = GeometricAugment(config) if self.augment else None
 
         data_root = data_root or config.get("data_root")
+        # Decoded-frame cache (FFCV-style): datasets store 256px PNGs
+        # (prep layout, ref data/prepare_dataset.py) but train at
+        # spatial_size — every epoch re-pays zlib inflate + resize for the
+        # same bytes.  `frame_cache: raw` writes each frame's decoded
+        # (H, W, 3) uint8 once and mmap-reads it afterwards (bit-exact by
+        # construction; ~50 KB/frame at 128px).  Opt-in: real datasets can
+        # be large and the cache trades disk for a ~6x per-core loader
+        # speedup (PERFORMANCE.md "Host input pipeline").
+        self.frame_cache = str(config.get("frame_cache", "none"))
+        self.frame_cache_dir = config.get("frame_cache_dir") or (
+            os.path.join(data_root, ".frame_cache") if data_root else None)
         if meta is None:
             with open(os.path.join(data_root, "meta.p"), "rb") as f:
                 meta = pickle.load(f)
@@ -239,12 +251,54 @@ class VideoDataset:
         return start, length
 
     # -- loaders ---------------------------------------------------------------
+    def _frame_cache_path(self, path: str, lanczos: bool) -> str:
+        h, w = self.spatial_size
+        tag = "lz" if lanczos else "ln"
+        rel = os.path.relpath(path, self.data_root) if self.data_root else \
+            os.path.basename(path)
+        rel = rel.replace(os.sep, "__")
+        return os.path.join(self.frame_cache_dir,
+                            f"{rel}.{h}x{w}.{tag}.rgb8")
+
     def _load_img(self, path: str) -> np.ndarray:
         # Human3.6m resizes with lanczos, but ONLY at spatial_size 64 —
         # the reference gates it (flow_dataset.py:584 use_lanczos;
         # base_dataset.py:411 `use_lanczos and spatial_size == 64`)
         use_lanczos = self.use_lanczos and self.spatial_size[0] == 64
         path = str(path)
+        cpath = None
+        if self.frame_cache == "raw" and self.frame_cache_dir:
+            cpath = self._frame_cache_path(path, use_lanczos)
+            h, w = self.spatial_size
+            try:
+                if os.path.getmtime(cpath) >= os.path.getmtime(path):
+                    img = np.fromfile(cpath, np.uint8)
+                    if img.size == h * w * 3:
+                        return img.reshape(h, w, 3)
+            except OSError:
+                pass  # miss (or stale/truncated): decode below and refill
+        img = self._decode_img(path, use_lanczos)
+        if cpath is not None:
+            try:
+                os.makedirs(self.frame_cache_dir, exist_ok=True)
+                tmp = f"{cpath}.{os.getpid()}.{threading.get_ident()}.tmp"
+                img.tofile(tmp)
+                os.replace(tmp, cpath)  # atomic: concurrent workers race safely
+            except OSError:
+                pass  # cache is best-effort (full/read-only disk)
+        return img
+
+    def populate_frame_cache(self) -> int:
+        """Decode every indexed frame once into the raw cache (one-time,
+        like offline prep); returns the number of frames now cached."""
+        assert self.frame_cache == "raw" and self.frame_cache_dir
+        n = 0
+        for p in np.unique(self.datadict["img_path"]):
+            self._load_img(str(p))
+            n += 1
+        return n
+
+    def _decode_img(self, path: str, use_lanczos: bool) -> np.ndarray:
         if not use_lanczos and path.lower().endswith(".png"):
             # fast path: native fused decode+RGB+bilinear resize (one pass
             # instead of imread + cvtColor + resize)

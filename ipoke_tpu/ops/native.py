@@ -38,6 +38,8 @@ def build_native(quiet: bool = True) -> bool:
 
 def _load():
     global _LIB, _TRIED
+    if os.environ.get("IPOKE_NATIVE", "1") == "0":
+        return None  # kill switch: forces the numpy/cv2 fallbacks (A/B + CI)
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True

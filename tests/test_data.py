@@ -1,6 +1,7 @@
 """Data layer tests: poke simulation semantics, on-disk pipeline end-to-end,
 samplers, loaders."""
 
+import os
 import numpy as np
 import pytest
 
@@ -201,3 +202,38 @@ def test_identity_augment_is_skipped_exactly():
     np.testing.assert_array_equal(gt(img), img)
     flow = rng.standard_normal((16, 16, 2)).astype(np.float32)
     np.testing.assert_array_equal(gt.apply_flow(flow), flow)
+
+
+def test_frame_cache_bit_exact_and_stale_invalidation(tmp_path):
+    """`frame_cache: raw` must return byte-identical frames to the direct
+    decode path (it stores the decoder's own output), survive concurrent
+    worker writes, and refuse a cache entry older than its source frame."""
+    root = str(tmp_path / "plants")
+    make_synthetic_dataset(root, n_videos=2, n_frames=10, spatial_size=64,
+                           flow_delta=5)
+    cfg = {
+        "dataset": "PlantDataset", "spatial_size": (32, 32), "max_frames": 3,
+        "batch_size": 2, "n_workers": 0, "poke_size": 3, "n_pokes": 1,
+        "yield_videos": True,
+    }
+    plain = StaticDataModule(cfg, ["images"], data_root=root).dset_train
+    cached_cfg = dict(cfg, frame_cache="raw",
+                      frame_cache_dir=str(tmp_path / "fc"))
+    cached = StaticDataModule(cached_cfg, ["images"],
+                              data_root=root).dset_train
+    n = cached.populate_frame_cache()
+    assert n == len(np.unique(cached.datadict["img_path"]))
+    for p in np.unique(plain.datadict["img_path"])[:4]:
+        a = plain._load_img(str(p))
+        b = cached._load_img(str(p))   # served from cache
+        assert a.dtype == b.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
+    # stale invalidation: touching the source forces a re-decode (and the
+    # refreshed entry must again match)
+    p = str(np.unique(plain.datadict["img_path"])[0])
+    cpath = cached._frame_cache_path(p, False)
+    os.utime(p, None)  # source newer than cache now
+    before = os.path.getmtime(cpath)
+    b = cached._load_img(p)
+    np.testing.assert_array_equal(plain._load_img(p), b)
+    assert os.path.getmtime(cpath) >= before

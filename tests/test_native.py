@@ -147,12 +147,14 @@ def test_loader_img_path_uses_native_decode(tmp_path):
     class Holder:
         use_lanczos = False
         spatial_size = (128, 128)
+        frame_cache = "none"
+        frame_cache_dir = None
 
     from ipoke_tpu.data.datasets import VideoDataset
 
-    fast = VideoDataset._load_img(Holder(), p)
+    fast = VideoDataset._decode_img(Holder(), p, False)
     with mock.patch("ipoke_tpu.ops.native.decode_png", return_value=None):
-        slow = VideoDataset._load_img(Holder(), p)
+        slow = VideoDataset._decode_img(Holder(), p, False)
     assert np.abs(fast.astype(int) - slow.astype(int)).max() <= 1
 
 

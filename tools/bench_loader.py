@@ -57,6 +57,9 @@ def main():
     p.add_argument("--batches", type=int, default=12)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--root", default="/tmp/ipoke_loader_bench")
+    p.add_argument("--frame-cache", action="store_true",
+                   help="enable the decoded-frame raw cache (pre-populated "
+                        "before timing; measures the steady-state epoch)")
     p.add_argument("--train-step-clips-s", type=float, default=143.0,
                    help="device train-step rate to report headroom against")
     args = p.parse_args()
@@ -77,6 +80,15 @@ def main():
         "aug_deg": 15, "aug_trans": (0.1, 0.1), "scale_poke_to_res": True,
         "yield_videos": True,
     }
+    if args.frame_cache:
+        cfg["frame_cache"] = "raw"
+        cfg["n_workers"] = 0
+        dm = StaticDataModule(cfg, ["images"], data_root=args.root)
+        t0 = time.perf_counter()
+        n = dm.dset_train.populate_frame_cache()
+        print(f"frame cache populated: {n} frames, "
+              f"{time.perf_counter() - t0:.0f}s (one-time)", file=sys.stderr)
+
     load1 = float(open("/proc/loadavg").read().split()[0])
     ncpu = os.cpu_count() or 1
     if load1 > 0.5 * ncpu:
