@@ -247,3 +247,19 @@ def test_experiment_wires_fused_nice_train(tmp_path, monkeypatch):
         assert not fused_nice_train_enabled()
     finally:
         ops.set_fused_nice_train(None)
+
+
+def test_shipped_second_stage_config_defaults_fused_train():
+    """The r5 shipped-scale A/B (238.3 vs 298.4 ms/step, -20.1%,
+    PERFORMANCE.md) made the mixed-master + fused-NICE recipe the shipped
+    training default; keep the yaml honest about it."""
+    import os
+
+    import yaml
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "config",
+                            "second_stage.yaml")
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["training"]["mixed_prec_master"] is True
+    assert cfg["training"]["fused_nice_train"] is True
