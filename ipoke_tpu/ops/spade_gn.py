@@ -38,17 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _chunk_rows(R: int, P: int) -> int:
-    """Largest DMA-chunk row count that divides R (multiple of P and 8)."""
+def _chunk_rows(R: int, P: int, min_rows: int = 8) -> int:
+    """Largest DMA-chunk row count that divides R (multiple of P and the
+    dtype's sublane tile: 8 rows fp32, 16 rows bf16)."""
     for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand % min_rows != 0:
+            continue
         if R % cand == 0 and cand % max(P, 1) == 0:
             return cand
     return 0
 
 
+def _min_rows(dtype) -> int:
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
 def kernel_supported(shape, mod_batch: int, num_groups: int, dtype) -> bool:
     n, h, w, c = shape
-    if dtype != jnp.float32:
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        # fp32: the original layout; bf16: the SHIPPED decode dtype (the
+        # whole sampling pipeline streams bf16) — stats still fp32 in-kernel
         return False
     if c % num_groups != 0:
         return False
@@ -62,7 +71,7 @@ def kernel_supported(shape, mod_batch: int, num_groups: int, dtype) -> bool:
         return False
     R = total // LANES
     P = max(1, c // LANES)
-    if _chunk_rows(R, P) == 0:
+    if _chunk_rows(R, P, _min_rows(dtype)) == 0:
         return False
     return n % mod_batch == 0
 
@@ -113,7 +122,8 @@ def _spade_gn_kernel(x_ref, g_hbm, b_hbm, out_hbm, gch, bch, och, gsem, bsem,
     colsum = [jnp.zeros((LANES,), jnp.float32) for _ in range(P)]
     colsq = [jnp.zeros((LANES,), jnp.float32) for _ in range(P)]
     for j in range(nch):
-        xc = x_ref[0, j * CH:(j + 1) * CH, :]
+        # bf16 inputs: stats accumulate in fp32 (flax GroupNorm semantics)
+        xc = x_ref[0, j * CH:(j + 1) * CH, :].astype(jnp.float32)
         if P == 1:
             colsum[0] = colsum[0] + jnp.sum(xc, axis=0)
             colsq[0] = colsq[0] + jnp.sum(xc * xc, axis=0)
@@ -157,7 +167,7 @@ def _spade_gn_kernel(x_ref, g_hbm, b_hbm, out_hbm, gch, bch, och, gsem, bsem,
             b_dma(j + 1, 1 - slot).start()
         g_dma(j, slot).wait()
         b_dma(j, slot).wait()
-        xc = x_ref[0, j * CH:(j + 1) * CH, :]
+        xc = x_ref[0, j * CH:(j + 1) * CH, :].astype(jnp.float32)
         if P == 1:
             mu, s = mu_pl[0], s_pl[0]
         else:
@@ -166,8 +176,10 @@ def _spade_gn_kernel(x_ref, g_hbm, b_hbm, out_hbm, gch, bch, och, gsem, bsem,
                 mu_pl[p] * (rp == p) for p in range(1, P))
             s = s_pl[0] * (rp == 0) + sum(
                 s_pl[p] * (rp == p) for p in range(1, P))
-        normed = (xc - mu) * s
-        res = normed * (1.0 + gch[slot]) + bch[slot]
+        # normalized output cast to the IO dtype BEFORE the modulation —
+        # exactly the portable form's bf16 semantics (nn/blocks.py)
+        normed = ((xc - mu) * s).astype(och.dtype)
+        res = normed * (1.0 + gch[slot]) + bch[slot]  # weak 1.0: stays bf16
         if out_dmas[slot] is not None:  # slot buffer free?
             out_dmas[slot].wait()
         och[slot] = res
@@ -219,18 +231,19 @@ spade_gn_fused.defvjp(_fused_fwd, _fused_bwd)
 
 def spade_gn_modulate_pallas(x, gamma, beta, num_groups: int,
                              eps: float = 1e-5, interpret: bool = False):
-    """Pallas single-read SPADE GN+modulate.  x (N, H, W, C) fp32; gamma and
-    beta (BM, H, W, C) with BM | N (per-clip modulations broadcast over the
-    frames of a clip).  Caller must check ``kernel_supported`` first."""
+    """Pallas single-read SPADE GN+modulate.  x (N, H, W, C) fp32 or bf16
+    (the shipped decode streams bf16; stats run fp32 in-kernel either way);
+    gamma and beta (BM, H, W, C) with BM | N (per-clip modulations broadcast
+    over the frames of a clip).  Caller must check ``kernel_supported``."""
     n, h, w, c = x.shape
     bm = gamma.shape[0]
     t = n // bm
     R = h * w * c // LANES
     P = max(1, c // LANES)
-    CH = _chunk_rows(R, P)
+    CH = _chunk_rows(R, P, _min_rows(x.dtype))
     x2 = x.reshape(n, R, LANES)
-    g2 = gamma.reshape(bm, R, LANES)
-    b2 = beta.reshape(bm, R, LANES)
+    g2 = gamma.astype(x.dtype).reshape(bm, R, LANES)
+    b2 = beta.astype(x.dtype).reshape(bm, R, LANES)
 
     kern = functools.partial(
         _spade_gn_kernel, R=R, C=c, num_groups=num_groups, eps=float(eps),
@@ -245,11 +258,11 @@ def spade_gn_modulate_pallas(x, gamma, beta, num_groups: int,
             pl.BlockSpec(memory_space=pl.ANY),   # beta, DMA-chunked
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # DMA-chunked
-        out_shape=jax.ShapeDtypeStruct((n, R, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, R, LANES), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, CH, LANES), jnp.float32),   # gamma chunks
-            pltpu.VMEM((2, CH, LANES), jnp.float32),   # beta chunks
-            pltpu.VMEM((2, CH, LANES), jnp.float32),   # out chunks
+            pltpu.VMEM((2, CH, LANES), x.dtype),   # gamma chunks
+            pltpu.VMEM((2, CH, LANES), x.dtype),   # beta chunks
+            pltpu.VMEM((2, CH, LANES), x.dtype),   # out chunks
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -383,6 +383,35 @@ def test_spade_gn_kernel_matches_portable(shape, groups, bm):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("shape,groups,bm", [
+    ((4, 8, 8, 64), 16, 2),     # C < 128, t=2
+    ((2, 4, 4, 256), 16, 1),    # two lane phases
+])
+def test_spade_gn_kernel_bf16_matches_portable(shape, groups, bm):
+    """bf16 IO (the SHIPPED decode dtype): interpret-mode kernel == portable
+    bf16 semantics — fp32 stats, normalized output cast to bf16 BEFORE the
+    modulation, bf16 modulation FMA."""
+    from ipoke_tpu.nn.blocks import _num_groups, _spade_gn_portable
+    from ipoke_tpu.ops import spade_gn
+
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    x = jnp.asarray(rng.normal(0, 2, shape), jnp.bfloat16)
+    g = _num_groups(shape[-1], groups)
+    mshape = (bm,) + shape[1:]
+    gamma = jnp.asarray(rng.normal(0, 0.5, mshape), jnp.bfloat16)
+    beta = jnp.asarray(rng.normal(0, 0.5, mshape), jnp.bfloat16)
+
+    assert spade_gn.kernel_supported(shape, bm, g, x.dtype)
+    want = _spade_gn_portable(x, gamma, beta, g, 1e-5)
+    got = spade_gn.spade_gn_modulate_pallas(x, gamma, beta, g, 1e-5,
+                                            interpret=True)
+    assert got.dtype == jnp.bfloat16
+    # both sides are bf16 with fp32 stats; only accumulation order differs
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_spade_gn_fused_grads_are_portable():
     """jax.grad through spade_gn_fused == grad of the portable math (the
     custom_vjp fwd rule swaps in the portable forward so training never

@@ -147,6 +147,22 @@ def main():
     bodies["gen_noout"] = lambda r: fs.apply(
         fs_vars, perturb(r, flat0), X[:, 0], T, method=gen_noout)
 
+    # Engagement check (r5): the r4 "fused" A/B silently measured portable
+    # vs portable because kernel_supported was fp32-only while the shipped
+    # decode streams bf16.  When the gate is on, assert the lowered HLO of
+    # the first variant actually contains the Pallas custom call.
+    from ipoke_tpu import ops as _ops
+
+    if _ops.fused_spade_enabled() and dev.platform != "cpu":
+        first = args.variants.split(",")[0]
+        txt = jax.jit(lambda r: bodies[first](r)).lower(rng0).as_text()
+        engaged = "tpu_custom_call" in txt or "CustomCall" in txt
+        print(f"fused SPADE engaged in '{first}' HLO: {engaged}",
+              file=sys.stderr, flush=True)
+        if not engaged:
+            raise SystemExit("IPOKE_TPU_FUSED_SPADE=1 but no Pallas custom "
+                             "call in the lowered HLO — gate/shape mismatch")
+
     results = {}
     for name in args.variants.split(","):
         body = bodies[name]
