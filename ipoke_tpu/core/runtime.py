@@ -19,13 +19,29 @@ import jax
 
 
 def _host_isa_tag() -> str:
-    """Short hash of this host's CPU feature set (+ arch).
+    """Short hash of this host's CPU feature set, jaxlib version, and the
+    process's XLA "world" (XLA_FLAGS + JAX_PLATFORMS).
 
     XLA:CPU AOT executables are ISA-specific: a persistent-cache entry
     compiled on a host with different vector extensions deserializes with a
     "could lead to execution errors such as SIGILL" warning and can crash a
     capture run.  Keying the cache directory on the host ISA makes a
-    wrong-ISA hit structurally impossible (round-4 judge, Weak #7)."""
+    wrong-ISA hit structurally impossible (round-4 judge, Weak #7).
+
+    The r5 measured addendum: cpuinfo alone is NOT enough.  XLA:CPU injects
+    *pseudo* target features (+prefer-no-scatter/+prefer-no-gather) that
+    depend on the process configuration — entries written under the
+    forced-host-platform dryrun world (``--xla_force_host_platform_device_
+    count``) carry them while the deserialization-time host probe only sees
+    real cpuinfo flags, so TPU-session captures loading dryrun-world
+    entries warn on every hit even on the SAME machine (r5 logs:
+    dec_base.log 72 warnings, all same-host).  Including jaxlib version +
+    XLA_FLAGS + JAX_PLATFORMS in the key keeps each world's entries to
+    itself: driver bench/attr captures (no XLA_FLAGS) can never load a
+    dryrun-world CPU AOT result.  Same-world pseudo-feature round-trips can
+    still print the warning inside the dryrun leg itself; that residue is
+    same-host and benign (the pseudo-features gate emission heuristics,
+    not ISA legality)."""
     import hashlib
     import platform
 
@@ -38,7 +54,15 @@ def _host_isa_tag() -> str:
                     break
     except OSError:  # pragma: no cover - non-Linux
         pass
-    key = f"{platform.machine()}:{feats}".encode()
+    try:
+        import jaxlib
+
+        jl = getattr(jaxlib, "__version__", "?")
+    except Exception:  # pragma: no cover
+        jl = "?"
+    world = (f"{os.environ.get('XLA_FLAGS', '')}"
+             f"|{os.environ.get('JAX_PLATFORMS', '')}")
+    key = f"{platform.machine()}:{feats}:{jl}:{world}".encode()
     return hashlib.sha256(key).hexdigest()[:12]
 
 
