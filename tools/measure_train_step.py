@@ -204,10 +204,13 @@ def main():
         cost = fn.lower(params, opt, frozen, batch,
                         jax.random.PRNGKey(0)).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        # XLA counts a while/scan BODY once regardless of trip count
+        # (verified: k=1 and k=5 scans report identical flops), so the
+        # program-level count IS approximately one step's flops
         flops = float(cost.get("flops", 0.0))
         if flops > 0 and best:
-            tf_s = flops / best / 1e12
-            print(f"cost_analysis: {flops / args.steps / 1e12:.2f} TFLOP/step "
+            tf_s = flops * args.steps / best / 1e12
+            print(f"cost_analysis: {flops / 1e12:.2f} TFLOP/step "
                   f"=> {tf_s:.1f} TFLOP/s sustained "
                   f"({100 * tf_s / 197:.1f}% of bf16 peak, "
                   f"{100 * tf_s / (197 / 3):.1f}% of ~f32 matmul peak)",
