@@ -72,9 +72,26 @@ def setup_compilation_cache(path: Optional[str] = None):
     # per-ISA subdirectory: CPU-backend AOT entries must never be shared
     # across hosts with different CPU features (see _host_isa_tag)
     path = os.path.join(path, _host_isa_tag())
+    # In accelerator-session worlds, only persist the BIG (device) compiles:
+    # this jaxlib stamps XLA:CPU AOT results with pseudo target features
+    # (+prefer-no-scatter/gather) that the load-time host probe never lists,
+    # so EVERY persisted CPU-program hit prints the "could lead to ... SIGILL"
+    # warning (measured: 86-96 per shipped-scale capture, all same-host).
+    # The CPU programs in a TPU session are just the small init/RNG jits
+    # (2-8 s compiles, cheap to redo); device programs all compile >>10 s
+    # and stay cached.  Pure-CPU worlds (tests, the multichip dryrun) keep
+    # the low threshold — their 1054M-param CPU compiles (300 s+) are the
+    # whole point of the cache there, and the warning is cosmetic within
+    # one world (same host by construction of the key).
+    cpu_world = False
+    try:
+        cpu_world = jax.config.jax_platforms == "cpu"
+    except Exception:  # pragma: no cover
+        pass
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0 if cpu_world else 10.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - older jax
         pass
