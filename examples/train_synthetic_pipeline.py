@@ -93,7 +93,10 @@ ss_cfg = {
                      "prior_transform": "affine", "augmented_input": False},
     "training": {"lr": 5e-4, "n_epochs": 2, "max_batches_per_epoch": 150,
                  "max_val_batches": 3, "lr_scaling_max_it": 100,
-                 "custom_lr_decrease": True},
+                 "custom_lr_decrease": True,
+                 # the shipped TPU recipe (config/second_stage.yaml r5
+                 # default) exercised end-to-end at demo scale
+                 "mixed_prec_master": True, "fused_nice_train": True},
     "testing": {"n_samples_per_data_point": 3, "test_batch_size": 8,
                 "n_samples_vis": 8, "n_samples_fvd": 64},
     "logging": {"n_saved_ckpt": 2},

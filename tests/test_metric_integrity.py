@@ -123,6 +123,10 @@ def test_h36m_lanczos_gated_on_64(tmp_path, monkeypatch):
 
     from ipoke_tpu.data.datasets import Human36mDataset
 
+    # pin the cv2 fallback: the native fused decode+resize (r5) handles the
+    # non-lanczos path without calling cv2.resize, which this spy watches
+    monkeypatch.setenv("IPOKE_NATIVE", "0")
+
     img_path = str(tmp_path / "frame_0.png")
     cv2.imwrite(img_path, np.zeros((96, 96, 3), np.uint8))
     meta = {"img_path": ["frame_0.png"] * 4,
