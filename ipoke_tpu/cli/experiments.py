@@ -595,6 +595,15 @@ class SecondStageExperiment(Experiment):
                 else:
                     self.state = self.state.replace(params=params)
             self._ddi_done = True
+        if self._mixed:
+            # bf16-resident batch to match params/frozen: the measured
+            # recipe (tools/measure_train_step.py --mixed-master) casts all
+            # three, and the flow's raw lax convs are strict about operand
+            # dtypes (an fp32 batch reaches the MCF shifted conv as fp32
+            # activations against bf16 weights and fails at trace time)
+            from ..core.optim import cast_floats
+
+            batch = cast_floats(batch, jnp.bfloat16)
         return self._step(self.state, self.frozen, batch, self.next_rng())
 
     def validate(self, epoch):
@@ -615,6 +624,10 @@ class SecondStageExperiment(Experiment):
             epoch=epoch, n_batches=self.max_val_batches
         ):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self._mixed:  # bf16-resident params need bf16 activations
+                from ..core.optim import cast_floats
+
+                batch = cast_floats(batch, jnp.bfloat16)
             z, logdet = density(self.state.params, self.frozen, batch,
                                 self.next_rng())
             loss, _ = flow_loss(z, logdet)

@@ -263,3 +263,45 @@ def test_shipped_second_stage_config_defaults_fused_train():
         cfg = yaml.safe_load(f)
     assert cfg["training"]["mixed_prec_master"] is True
     assert cfg["training"]["fused_nice_train"] is True
+
+
+def test_experiment_mixed_master_casts_batch(tmp_path, monkeypatch):
+    """Regression (r5 demo crash): under mixed_prec_master the experiment
+    must cast incoming fp32 batches to bf16 — with num_steps >= 2 the MCF
+    shifted conv is reached with strict lax.conv dtypes, and an uncast
+    batch fails at trace time (fp32 activations vs bf16 weights)."""
+    import copy
+    import os
+
+    from ipoke_tpu.cli.experiments import SecondStageExperiment
+    from ipoke_tpu.data.prep import make_synthetic_dataset
+    from tests.test_second_stage import SS_CFG, _make_frozen
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_videos=3, n_frames=10, spatial_size=32,
+                           flow_delta=4)
+    cfg = Config(copy.deepcopy(SS_CFG.to_dict() if hasattr(
+        SS_CFG, "to_dict") else dict(SS_CFG)))
+    cfg["general"] = {"experiment": "second_stage", "seed": 1, "debug": True,
+                      "model_name": "tiny_cast"}
+    cfg["data"].update(dataset="PlantDataset", poke_size=3, n_pokes=1,
+                       yield_videos=True)
+    cfg["architecture"].update(num_steps=[2, 2])  # reaches the shifted conv
+    cfg["training"]["mixed_prec_master"] = True
+    cfg["training"]["fused_nice_train"] = True  # portable branch on CPU
+    dirs = {}
+    for k in ("ckpt", "config", "generated", "log"):
+        dirs[k] = str(tmp_path / k)
+        os.makedirs(dirs[k], exist_ok=True)
+
+    fs_model, cond, poke, frozen = _make_frozen()
+    monkeypatch.setattr(SecondStageExperiment, "_load_frozen",
+                        lambda self, **kw: (fs_model, cond, poke, frozen))
+    exp = SecondStageExperiment(cfg, dirs, data_root=root)
+    exp.build()
+    batch = next(iter(exp.datamodule.train_loader(epoch=0, n_batches=1)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}  # fp32 floats
+    assert batch["images"].dtype == jnp.float32
+    state, log = exp.train_step(batch, epoch=0)
+    exp.state = state
+    assert np.isfinite(float(log["flow_loss"]))
