@@ -183,6 +183,12 @@ class Experiment:
                     f"step {step}; aborting (terminate_on_nan)"
                 )
 
+    def _resume_template(self, state):
+        """Abstract tree used to restore a checkpoint on resume; subclasses
+        whose TRAINED state dtypes differ from the freshly-built ones (e.g.
+        bf16-resident params under mixed_prec_master) override this."""
+        return state
+
     def train(self):
         try:
             return self._train_loop()
@@ -192,7 +198,12 @@ class Experiment:
     def _train_loop(self):
         self.build()
         if self.resume:
-            self.state = self.store.restore(self.state, "last")
+            # _resume_template aligns the abstract tree's dtypes with what a
+            # trained checkpoint actually holds (e.g. bf16-resident params
+            # under mixed_prec_master) — orbax restores INTO the template's
+            # dtypes, so a mismatched template silently upcasts
+            self.state = self.store.restore(
+                self._resume_template(self.state), "last")
             self.logger.info(f"resumed from {self.version_dir}/last")
         profile = bool(self.config.get_path("general.profiler", False))
         profile_dir = os.path.join(self.dirs["log"], str(self.version),
@@ -573,6 +584,18 @@ class SecondStageExperiment(Experiment):
                     ops.set_fused_nice_train(prev)
 
             self._step = _step_with_fused_gate
+
+    def _resume_template(self, state):
+        if not self._mixed:
+            return state
+        # a trained mixed-master checkpoint holds bf16 params with fp32
+        # masters inside the opt state; restore into that dtype structure
+        # (a fresh fp32 template would make orbax upcast the params and the
+        # first step would crash on strict lax-conv dtypes)
+        from ..core.optim import cast_floats
+
+        params = cast_floats(state.params, jnp.bfloat16)
+        return state.replace(params=params, opt=self.tx.init(params))
 
     def train_step(self, batch, epoch):
         # DDI only on a genuinely fresh run: re-running it on a restored

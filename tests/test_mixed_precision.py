@@ -305,3 +305,76 @@ def test_experiment_mixed_master_casts_batch(tmp_path, monkeypatch):
     state, log = exp.train_step(batch, epoch=0)
     exp.state = state
     assert np.isfinite(float(log["flow_loss"]))
+
+
+def test_experiment_mixed_master_resume_roundtrip(tmp_path, monkeypatch):
+    """Resume under mixed_prec_master: the restored state must come back
+    bf16-resident with the fp32 Adafactor/Adam masters restored from the
+    checkpointed opt state (NOT re-derived from bf16 params), DDI must not
+    re-run (step > 0), and training must continue with finite losses."""
+    import copy
+    import os
+
+    from ipoke_tpu.cli.experiments import SecondStageExperiment
+    from ipoke_tpu.data.prep import make_synthetic_dataset
+    from tests.test_second_stage import SS_CFG, _make_frozen
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, n_videos=3, n_frames=10, spatial_size=32,
+                           flow_delta=4)
+
+    def mkcfg():
+        cfg = Config(copy.deepcopy(SS_CFG.to_dict() if hasattr(
+            SS_CFG, "to_dict") else dict(SS_CFG)))
+        cfg["general"] = {"experiment": "second_stage", "seed": 1,
+                          "debug": True, "model_name": "tiny_resume"}
+        cfg["data"].update(dataset="PlantDataset", poke_size=3, n_pokes=1,
+                           yield_videos=True)
+        cfg["training"]["mixed_prec_master"] = True
+        return cfg
+
+    dirs = {}
+    for k in ("ckpt", "config", "generated", "log"):
+        dirs[k] = str(tmp_path / k)
+        os.makedirs(dirs[k], exist_ok=True)
+
+    fs_model, cond, poke, frozen = _make_frozen()
+    monkeypatch.setattr(SecondStageExperiment, "_load_frozen",
+                        lambda self, **kw: (fs_model, cond, poke, frozen))
+    exp = SecondStageExperiment(mkcfg(), dirs, data_root=root)
+    exp.build()
+    batch = next(iter(exp.datamodule.train_loader(epoch=0, n_batches=1)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(2):
+        state, log = exp.train_step(batch, epoch=0)
+        exp.state = state
+    exp.store.save(exp.state, step=int(exp.state.step), metric=1.0)
+    saved_params = jax.device_get(exp.state.params)
+    saved_opt_leaves = jax.tree_util.tree_leaves(jax.device_get(exp.state.opt))
+
+    exp2 = SecondStageExperiment(mkcfg(), dirs, data_root=root)
+    exp2.resume = True
+    exp2.build()
+    # restore from the first run's version dir (the train-loop resume path
+    # resolves the same "last" name within one version), through the same
+    # dtype-aligned template hook _train_loop uses
+    exp2.state = exp2.store.restore(exp2._resume_template(exp2.state),
+                                    exp.store._path("last"))
+    # params restored bf16-resident, bit-identical to the save
+    for a, b in zip(jax.tree_util.tree_leaves(saved_params),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(exp2.state.params))):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    # the fp32 masters inside the opt state round-trip exactly too
+    for a, b in zip(saved_opt_leaves,
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(exp2.state.opt))):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    assert int(exp2.state.step) == 2
+    # continue training: DDI must be skipped (step > 0) and loss finite
+    state, log = exp2.train_step(batch, epoch=0)
+    assert np.isfinite(float(log["flow_loss"]))
