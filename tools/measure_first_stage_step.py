@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--mixed", action="store_true",
                     help="training.mixed_prec: bf16 module dtype (the r1 "
                          "winner; re-measured honestly here)")
+    ap.add_argument("--spatial", type=int, default=None, choices=(64, 128),
+                    help="128: the 128px reference variant (append 256 to "
+                         "ENC_M_channels, prepend 256 to dec_channels — the "
+                         "yaml's own width comments)")
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
@@ -58,6 +62,12 @@ def main():
         "config", "first_stage.yaml"))
     if args.mixed:
         cfg["training"]["mixed_prec"] = True
+    if args.spatial == 128:
+        cfg["data"]["spatial_size"] = [128, 128]
+        cfg["architecture"]["ENC_M_channels"] = (
+            list(cfg["architecture"]["ENC_M_channels"]) + [256])
+        cfg["architecture"]["dec_channels"] = (
+            [256] + list(cfg["architecture"]["dec_channels"]))
     if args.small:
         cfg["data"]["batch_size"] = 4
         cfg["architecture"]["ENC_M_channels"] = [32, 64, 64, 64]
